@@ -1,0 +1,249 @@
+"""Paired Spark queries + DuckDB oracle SQL for the driver contract.
+
+Each entry runs the REAL pipeline operators over the driver-provided
+tables at a given sf dir (TESTDATA.md) in deterministic lexicon mode,
+and ships an ANSI-SQL twin that DuckDB executes over the same parquet.
+Column names and types are aligned on both sides — the driver's
+compare hashes values after sorting columns by name.
+
+The lexicon-mode pipeline is exactly the production CTI path (same
+operators, same UDFs); only the stub ModelClient's term recognizer
+differs, which is what makes the semantics SQL-expressible:
+- IE      : adjacent recognized terms → (term_i, 'precedes', term_i+1)
+- ET      : class = lexicon[term]
+- EA      : no cosine pair ≥ 0.6 among distinct lexicon terms
+            (verified: max pairwise cosine 0.33), so alignment reduces
+            to the dense-id minting semantics — which IS the thing the
+            oracle checks (first-occurrence ids, class-blocked entity
+            numbering).
+- LP      : chain-shaped docs form a single component per doc, so
+            main/topic selection is a pure degree-argmax — again
+            SQL-expressible, *including* component columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ctinexus_spark.config import PipelineConfig
+from ctinexus_spark.model import StubModel
+from ctinexus_spark.operators.ea import align_entities, embed_mentions, mint_mentions
+from ctinexus_spark.operators.et import tag_triples
+from ctinexus_spark.operators.ie import extract_triples
+from ctinexus_spark.operators.lp import analyze_graph, predict_links
+from ctinexus_spark.operators.materialize import materialize_kg
+from ctinexus_spark.operators.normalize import normalize_documents
+
+# Term → entity class over the driver corpus vocabulary.
+LEXICON = {
+    "spark": "Engine",
+    "query": "Workload",
+    "join": "Operator", "filter": "Operator", "scan": "Operator",
+    "sort": "Operator", "merge": "Operator", "window": "Operator",
+    "agg": "Operator", "group": "Operator",
+    "hash": "Algorithm",
+    "table": "Object", "column": "Object", "row": "Object",
+    "batch": "Object", "stream": "Object", "vector": "Object",
+    "data": "Object", "key": "Object", "value": "Object",
+    "customer": "Domain", "line": "Domain", "part": "Domain",
+    "order": "Domain",
+    "big": "Qualifier", "small": "Qualifier", "fast": "Qualifier",
+    "slow": "Qualifier",
+}
+
+CONFIG = PipelineConfig(lexicon=LEXICON)
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            "text",
+            "lang",
+        )
+    )
+
+
+def _docs_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no lang filter: the oracle covers the full corpus
+    return normalize_documents(load_documents(spark, sf_dir), lang_filter=None)
+
+
+def _ie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_norm(spark, sf_dir)
+    return extract_triples(docs, StubModel(CONFIG)).filter("valid")
+
+
+def _typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_norm(spark, sf_dir)
+    ie = extract_triples(docs, StubModel(CONFIG)).filter("valid")
+    return tag_triples(ie, docs, StubModel(CONFIG))
+
+
+def _aligned(spark: SparkSession, sf_dir: str):
+    typed = _typed(spark, sf_dir)
+    nodes = mint_mentions(typed)
+    emb = embed_mentions(nodes, StubModel(CONFIG))
+    return typed, align_entities(nodes, emb, CONFIG)
+
+
+def _doc_id():
+    return F.col("url").cast("bigint").alias("doc_id")
+
+
+# --- Spark side -------------------------------------------------------
+
+
+def q_ie_triples(spark, sf_dir):
+    return _ie(spark, sf_dir).select(_doc_id(), "t_idx", "subject", "relation", "object")
+
+
+def q_ie_counts(spark, sf_dir):
+    return (
+        _ie(spark, sf_dir)
+        .groupBy(_doc_id())
+        .agg(F.count("*").cast("bigint").alias("n_triples"))
+    )
+
+
+def q_et_typed(spark, sf_dir):
+    return _typed(spark, sf_dir).filter("valid").select(
+        _doc_id(), "t_idx", "subject_text", "subject_class",
+        "relation", "object_text", "object_class",
+    )
+
+
+def q_ea_mentions(spark, sf_dir):
+    typed = _typed(spark, sf_dir)
+    return mint_mentions(typed).select(
+        _doc_id(), "mention_id", "mention_text", "mention_class"
+    ).distinct()
+
+
+def q_ea_entities(spark, sf_dir):
+    _typed_df, aligned = _aligned(spark, sf_dir)
+    return aligned.select(_doc_id(), "entity_id", "entity_text").distinct()
+
+
+def q_lp_graph(spark, sf_dir):
+    _typed_df, aligned = _aligned(spark, sf_dir)
+    return analyze_graph(aligned).select(
+        _doc_id(), "entity_id", "entity_text", "component_id",
+        "component_size", "degree", "is_main", "is_topic",
+    )
+
+
+def q_kg_triples(spark, sf_dir):
+    typed, aligned = _aligned(spark, sf_dir)
+    graph = analyze_graph(aligned)
+    docs = _docs_norm(spark, sf_dir)
+    links = predict_links(graph, docs, StubModel(CONFIG), CONFIG)
+    kg = materialize_kg(aligned, typed, links)
+    return kg.select(_doc_id(), "subj", "pred", "obj", "source")
+
+
+# --- DuckDB oracle side -------------------------------------------------
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in LEXICON)
+
+
+def _class_case(col: str) -> str:
+    return (
+        f"CASE {col} "
+        + " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in LEXICON.items())
+        + " ELSE 'default' END"
+    )
+
+
+_CLASS_CASE = _class_case("term")
+
+# shared CTE prefix: recognized tokens with positions, then triples
+_BASE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split(text, ' '), w -> w IN ({_TERMS_SQL}))) AS term,
+         generate_subscripts(list_filter(str_split(text, ' '), w -> w IN ({_TERMS_SQL})), 1) AS pos
+  FROM documents
+),
+trip AS (
+  SELECT a.doc_id, CAST(a.pos - 1 AS INT) AS t_idx, a.term AS s, b.term AS o
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+ment AS (
+  SELECT doc_id, term, min(pos) AS fp
+  FROM toks GROUP BY doc_id, term
+),
+eligible AS (
+  SELECT doc_id FROM toks GROUP BY doc_id HAVING count(*) >= 2
+),
+ment2 AS (
+  SELECT m.doc_id, m.term, m.fp,
+         CAST(row_number() OVER (PARTITION BY m.doc_id ORDER BY m.fp) - 1 AS INT) AS mention_id,
+         {_CLASS_CASE} AS cls
+  FROM ment m JOIN eligible e ON m.doc_id = e.doc_id
+),
+clsfp AS (
+  SELECT doc_id, cls, min(fp) AS cfp FROM ment2 GROUP BY doc_id, cls
+),
+ent AS (
+  SELECT m.doc_id, m.term, m.mention_id, m.cls,
+         CAST(row_number() OVER (PARTITION BY m.doc_id ORDER BY c.cfp, m.mention_id) - 1 AS INT) AS entity_id
+  FROM ment2 m JOIN clsfp c ON m.doc_id = c.doc_id AND m.cls = c.cls
+),
+deg AS (
+  SELECT doc_id, term, CAST(count(*) AS INT) AS degree
+  FROM (SELECT doc_id, s AS term FROM trip UNION ALL SELECT doc_id, o AS term FROM trip)
+  GROUP BY doc_id, term
+)
+"""
+
+ORACLES = {
+    "ie_triples": _BASE + """
+SELECT doc_id, t_idx, s AS subject, 'precedes' AS relation, o AS object FROM trip
+""",
+    "ie_counts": _BASE + """
+SELECT doc_id, count(*) AS n_triples FROM trip GROUP BY doc_id
+""",
+    "et_typed": _BASE + f"""
+SELECT doc_id, t_idx,
+       s AS subject_text,
+       {_class_case('s')} AS subject_class,
+       'precedes' AS relation,
+       o AS object_text,
+       {_class_case('o')} AS object_class
+FROM trip
+""",
+    "ea_mentions": """
+SELECT doc_id, mention_id, term AS mention_text, cls AS mention_class FROM ment2
+""",
+    "ea_entities": """
+SELECT doc_id, entity_id, term AS entity_text FROM ent
+""",
+    "lp_graph": """
+SELECT e.doc_id, e.entity_id, e.term AS entity_text,
+       CAST(0 AS INT) AS component_id,
+       CAST(count(*) OVER (PARTITION BY e.doc_id) AS INT) AS component_size,
+       d.degree,
+       (row_number() OVER (PARTITION BY e.doc_id ORDER BY d.degree DESC, e.entity_id) = 1) AS is_main,
+       (row_number() OVER (PARTITION BY e.doc_id ORDER BY d.degree DESC, e.entity_id) = 1) AS is_topic
+FROM ent e JOIN deg d ON e.doc_id = d.doc_id AND e.term = d.term
+""",
+    "kg_triples": """
+SELECT doc_id, s AS subj, 'precedes' AS pred, o AS obj, 'extracted' AS source FROM trip
+""",
+}
+# queries whose oracle needs the shared CTE prefix
+for _name in ("ea_mentions", "ea_entities", "lp_graph", "kg_triples"):
+    ORACLES[_name] = _BASE + ORACLES[_name]
+
+QUERIES = {
+    "ie_triples": q_ie_triples,
+    "ie_counts": q_ie_counts,
+    "et_typed": q_et_typed,
+    "ea_mentions": q_ea_mentions,
+    "ea_entities": q_ea_entities,
+    "lp_graph": q_lp_graph,
+    "kg_triples": q_kg_triples,
+}
