@@ -77,13 +77,16 @@ def _ie(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _typed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_norm(spark, sf_dir)
+    # docs feeds both IE and the ET join — persist the branch point
+    docs = _docs_norm(spark, sf_dir).persist()
     ie = extract_triples(docs, StubModel(CONFIG)).filter("valid")
     return tag_triples(ie, docs, StubModel(CONFIG))
 
 
 def _aligned(spark: SparkSession, sf_dir: str):
-    typed = _typed(spark, sf_dir)
+    # typed feeds both mention minting and the final materialize —
+    # persist at the branch point so extraction doesn't recompute.
+    typed = _typed(spark, sf_dir).persist()
     nodes = mint_mentions(typed)
     emb = embed_mentions(nodes, StubModel(CONFIG))
     return typed, align_entities(nodes, emb, CONFIG)
@@ -137,6 +140,7 @@ def q_lp_graph(spark, sf_dir):
 
 def q_kg_triples(spark, sf_dir):
     typed, aligned = _aligned(spark, sf_dir)
+    aligned = aligned.persist()  # feeds graph AND materialize
     graph = analyze_graph(aligned)
     docs = _docs_norm(spark, sf_dir)
     links = predict_links(graph, docs, StubModel(CONFIG), CONFIG)

@@ -138,8 +138,11 @@ def _clusters_cc(group: list[int], neighbors: dict[int, set[int]]) -> list[set[i
 def _align_one_doc(pdf: pd.DataFrame, threshold: float, mode: str) -> pd.DataFrame:
     pdf = pdf.sort_values("pos", kind="stable").reset_index(drop=True)
     n_rows = len(pdf)
+    # pull columns out ONCE — per-element .iloc in loops is the slow path
     mids = pdf["mention_id"].to_numpy()
     texts = pdf["mention_text"].tolist()
+    classes = pdf["mention_class"].tolist()
+    embeddings_col = pdf["embedding"].tolist()
 
     # node_dict: mention_id -> row indices in traversal order
     node_rows: dict[int, list[int]] = {}
@@ -148,7 +151,7 @@ def _align_one_doc(pdf: pd.DataFrame, threshold: float, mode: str) -> pd.DataFra
 
     # embeddings per mention_id (first row's vector; identical by text)
     emb: dict[int, np.ndarray] = {
-        m: np.asarray(pdf["embedding"].iloc[rows[0]], dtype=np.float64)
+        m: np.asarray(embeddings_col[rows[0]], dtype=np.float64)
         for m, rows in node_rows.items()
     }
     text_of = {m: texts[rows[0]] for m, rows in node_rows.items()}
@@ -157,7 +160,7 @@ def _align_one_doc(pdf: pd.DataFrame, threshold: float, mode: str) -> pd.DataFra
     class_order: list[str] = []
     class_members: dict[str, set[int]] = {}
     for i in range(n_rows):
-        c = pdf["mention_class"].iloc[i]
+        c = classes[i]
         if c not in class_members:
             class_members[c] = set()
             class_order.append(c)

@@ -68,6 +68,12 @@ def _analyze_doc(pdf: pd.DataFrame) -> pd.DataFrame:
     component/degree/main/topic flags."""
     pdf = pdf.sort_values("pos", kind="stable")
     url = pdf["url"].iloc[0]
+    # column extraction once — iterrows() is the slow path
+    eids = pdf["entity_id"].to_numpy()
+    poss = pdf["pos"].to_numpy()
+    tidxs = pdf["t_idx"].to_numpy()
+    sides = pdf["side"].tolist()
+    etexts = pdf["entity_text"].tolist()
 
     first_pos: dict[int, int] = {}
     text_of: dict[int, str] = {}
@@ -75,14 +81,14 @@ def _analyze_doc(pdf: pd.DataFrame) -> pd.DataFrame:
     dsu = _DSU()
 
     by_triple: dict[int, dict[str, int]] = {}
-    for _, row in pdf.iterrows():
-        e = int(row["entity_id"])
+    for i in range(len(pdf)):
+        e = int(eids[i])
         if e not in first_pos:
-            first_pos[e] = int(row["pos"])
-            text_of[e] = row["entity_text"]
+            first_pos[e] = int(poss[i])
+            text_of[e] = etexts[i]
             degree[e] = 0
         degree[e] += 1
-        by_triple.setdefault(int(row["t_idx"]), {})[row["side"]] = e
+        by_triple.setdefault(int(tidxs[i]), {})[sides[i]] = e
 
     for sides in by_triple.values():
         if "subject" in sides and "object" in sides:

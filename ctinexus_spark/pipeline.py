@@ -43,17 +43,22 @@ def run_pipeline(
 ) -> PipelineResult:
     cfg = config or PipelineConfig()
 
-    docs = normalize_documents(documents, lang_filter=lang_filter)
+    # Persist at DAG branch points: docs feeds IE, ET and LP; typed
+    # feeds minting and materialize; aligned feeds graph and
+    # materialize. Without these every downstream branch would re-run
+    # the whole extraction lineage. (On the checkpointed production
+    # path each stage is a parquet/Iceberg write instead.)
+    docs = normalize_documents(documents, lang_filter=lang_filter).persist()
     if demo_texts:
         docs = attach_demos(docs, demo_texts, demo_ids or [str(i) for i in range(len(demo_texts))], cfg)
 
     ie_all = extract_triples(docs, model)
     triples_ie = ie_all.filter("valid")
 
-    typed_all = tag_triples(triples_ie, docs, model)
+    typed_all = tag_triples(triples_ie, docs, model).persist()
     nodes = mint_mentions(typed_all)
     embeddings = embed_mentions(nodes, model)
-    aligned = align_entities(nodes, embeddings, cfg)
+    aligned = align_entities(nodes, embeddings, cfg).persist()
 
     graph = analyze_graph(aligned)
     links = predict_links(graph, docs, model, cfg)
