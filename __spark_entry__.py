@@ -18,7 +18,7 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from ctinexus_spark import entry_queries  # noqa: E402
+from ctinexus_spark import dataset_queries, entry_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,8 +28,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(entry_queries.QUERIES)
+    return {**entry_queries.QUERIES, **dataset_queries.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(entry_queries.ORACLES)
+    return {**entry_queries.ORACLES, **dataset_queries.ORACLES}

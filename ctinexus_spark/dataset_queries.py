@@ -1,0 +1,419 @@
+"""Training-data-pipeline + classical query registry with DuckDB
+oracle twins (extends entry_queries; merged by __spark_entry__).
+
+Families:
+- text analysis : token stats, quality scores, lang features,
+                  fingerprints (operators/textops.py)
+- dedup         : exact, MinHash signatures, LSH bands/candidates,
+                  n-gram Jaccard overlap, SimHash (rows-only oracle),
+                  embedding-cosine pairs (operators/dedup.py)
+- similarity    : brute-force top-k, LSH buckets, LSH top-k,
+                  kNN label vote (operators/similarity.py)
+- classical     : TPC-H-style agg + join + window/sessionization
+                  (the classical-operator checklist of SURVEY.md §2.7)
+
+Float determinism notes (verified empirically):
+- cosine: Spark left-fold aggregate over double-cast arrays is
+  bit-identical to DuckDB list_cosine_similarity(::DOUBLE[]).
+- ratios of ints and double divisions are IEEE-exact on both engines.
+- money sums go through decimal(18,2) then cast to double (exact,
+  order-independent) instead of double sums (order-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ctinexus_spark.operators import dedup as D
+from ctinexus_spark.operators import similarity as S
+from ctinexus_spark.operators import textops as T
+from ctinexus_spark.operators.textops import STOPWORD_LIST
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- text analysis ------------------------------------------------------
+
+
+def q_token_stats(spark, sf_dir):
+    return T.token_stats(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return T.quality_scores(_docs(spark, sf_dir))
+
+
+def q_lang_features(spark, sf_dir):
+    return T.lang_features(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    return T.fingerprints(_docs(spark, sf_dir))
+
+
+# --- dedup --------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_minhash(spark, sf_dir):
+    return D.minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_lsh_bands(spark, sf_dir):
+    return D.lsh_bands(_docs(spark, sf_dir))
+
+
+def q_lsh_candidates(spark, sf_dir):
+    return D.lsh_candidates(_docs(spark, sf_dir))
+
+
+def q_shingle_overlap(spark, sf_dir):
+    return D.shingle_overlap(_docs(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def q_emb_cosine_pairs(spark, sf_dir):
+    # low threshold so the check is value-rich on random vectors
+    return D.embedding_near_dups(_emb(spark, sf_dir), threshold=0.3)
+
+
+# --- similarity ---------------------------------------------------------
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 25)
+    return S.brute_force_topk(emb, queries)
+
+
+def q_lsh_buckets(spark, sf_dir):
+    return S.lsh_buckets(_emb(spark, sf_dir))
+
+
+def q_lsh_topk(spark, sf_dir):
+    return S.lsh_topk(_emb(spark, sf_dir))
+
+
+def q_knn_vote(spark, sf_dir):
+    return S.knn_label_vote(_emb(spark, sf_dir))
+
+
+# --- classical ----------------------------------------------------------
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            # price (2dp) × (1-disc) (2dp) is an exact 4-decimal value:
+            # decimal(18,4) recovers it exactly on both engines, while
+            # (18,2) would hit .005 ties where Spark (HALF_UP) and
+            # DuckDB (HALF_EVEN) round differently.
+            F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double").alias("sum_disc_price"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_join(spark, sf_dir):
+    """customer ⨝ orders ⨝ lineitem revenue rollup (broadcast dims)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(rev.alias("revenue"), F.count("*").cast("bigint").alias("n_items"))
+    )
+
+
+def q_event_sessions(spark, sf_dir):
+    """Sessionization: 30-min inactivity gap → new session (window
+    functions; at scale this is the watermarked streaming shape)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def q_event_type_rollup(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# --- oracle SQL ---------------------------------------------------------
+
+# SQL string literals: single quotes doubled ("don't" → 'don''t')
+_STOPS = ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORD_LIST)
+_TOKS = "str_split(text, ' ')"
+
+_SHINGLES = (
+    "CASE WHEN len(str_split(text,' ')) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len(str_split(text,' ')) - 1), "
+    "i -> array_to_string(list_slice(str_split(text,' '), i, i + 2), ' '))) "
+    "ELSE [] END"
+)
+
+_MINHASH_COLS = ", ".join(
+    f"min(md5('{s}|' || shingle)) AS h{s}" for s in range(D.MINHASH_SEEDS)
+)
+
+_SIG = f"""
+sig AS (
+  SELECT doc_id, {_MINHASH_COLS}
+  FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents)
+  GROUP BY doc_id
+)
+"""
+
+_N_BANDS = D.MINHASH_SEEDS // D.BAND_SIZE
+_BAND_ROWS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, md5(h{b * D.BAND_SIZE} || '|' || h{b * D.BAND_SIZE + 1}) AS band_key FROM sig"
+    for b in range(_N_BANDS)
+)
+
+_HYPERPLANES = S.hyperplane_signs()
+
+
+def _plane_sql(p: int) -> str:
+    lits = ", ".join(f"{float(s)}" for s in _HYPERPLANES[p])
+    return (
+        f"(list_sum(list_transform(range(1, 65), "
+        f"i -> embedding[i]::DOUBLE * ([{lits}])[i])) >= 0)"
+    )
+
+
+_BUCKET_SQL = "concat(" + ", ".join(
+    f"CASE WHEN {_plane_sql(p)} THEN '1' ELSE '0' END" for p in range(S.N_PLANES)
+) + ")"
+
+ORACLES = {
+    "token_stats": f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens
+FROM documents
+""",
+    "quality": f"""
+SELECT doc_id,
+       CAST(len(list_filter({_TOKS}, w -> w IN ({_STOPS}))) AS DOUBLE)
+         / CAST(len({_TOKS}) AS DOUBLE) AS stopword_ratio,
+       CAST(length(text) - (len({_TOKS}) - 1) AS DOUBLE)
+         / CAST(len({_TOKS}) AS DOUBLE) AS mean_token_len,
+       CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+         / CAST(len({_TOKS}) AS DOUBLE) AS distinct_ratio
+FROM documents
+""",
+    "lang_features": f"""
+SELECT doc_id,
+       CAST(len(list_filter({_TOKS}, w -> lower(w) IN ({_STOPS}))) AS DOUBLE)
+         / CAST(len({_TOKS}) AS DOUBLE) AS en_stopword_rate,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         / CAST(length(text) AS DOUBLE) AS ascii_letter_ratio
+FROM documents
+""",
+    "fingerprints": """
+SELECT doc_id, md5(text) AS fingerprint FROM documents
+""",
+    "dedup_exact": """
+SELECT md5(text) AS fingerprint,
+       min(doc_id) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY md5(text)
+""",
+    "minhash": f"WITH {_SIG} SELECT * FROM sig",
+    "lsh_bands": f"WITH {_SIG}, bands AS ({_BAND_ROWS}) SELECT doc_id, CAST(band_idx AS INT) AS band_idx, band_key FROM bands",
+    "lsh_candidates": f"""
+WITH {_SIG}, bands AS ({_BAND_ROWS})
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+    "shingle_overlap": f"""
+WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+)
+SELECT s.a_id, s.b_id, s.n_shared,
+       CAST(s.n_shared AS DOUBLE) / CAST(ca.n + cb.n - s.n_shared AS DOUBLE) AS jaccard
+FROM shared s
+JOIN cnt ca ON s.a_id = ca.doc_id
+JOIN cnt cb ON s.b_id = cb.doc_id
+""",
+    # simhash: rows-only (bit-packing loop is not SQL-expressible) — omitted
+    "emb_cosine_pairs": """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+""",
+    "ann_topk": """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 25
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    "lsh_buckets": f"""
+SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings
+""",
+    "lsh_topk": f"""
+WITH b AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings),
+withb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
+  FROM withb q JOIN withb c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    "knn_vote": """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS n_label,
+         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+),
+topk AS (
+  SELECT query_id, n_label FROM (
+    SELECT query_id, n_label,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+votes AS (
+  SELECT query_id, n_label, count(*) AS votes FROM topk GROUP BY query_id, n_label
+)
+SELECT query_id, n_label AS predicted_label FROM (
+  SELECT query_id, n_label,
+         row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, n_label) AS rk
+  FROM votes
+) WHERE rk = 1
+""",
+    "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "revenue_join": """
+SELECT c_mktsegment, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderpriority
+""",
+    "event_sessions": """
+WITH marked AS (
+  SELECT user_id, "value",
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM marked GROUP BY user_id
+""",
+    "event_type_rollup": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+""",
+}
+
+QUERIES = {
+    "token_stats": q_token_stats,
+    "quality": q_quality,
+    "lang_features": q_lang_features,
+    "fingerprints": q_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "minhash": q_minhash,
+    "lsh_bands": q_lsh_bands,
+    "lsh_candidates": q_lsh_candidates,
+    "shingle_overlap": q_shingle_overlap,
+    "simhash": q_simhash,  # rows-only oracle
+    "emb_cosine_pairs": q_emb_cosine_pairs,
+    "ann_topk": q_ann_topk,
+    "lsh_buckets": q_lsh_buckets,
+    "lsh_topk": q_lsh_topk,
+    "knn_vote": q_knn_vote,
+    "tpch_q1": q_tpch_q1,
+    "revenue_join": q_revenue_join,
+    "event_sessions": q_event_sessions,
+    "event_type_rollup": q_event_type_rollup,
+}
+
+# headline bench additions (scale-path variants only)
+BENCH_QUERIES = {
+    "dedup_minhash_lsh": q_lsh_candidates,
+    "ann_lsh_topk": q_lsh_topk,
+    "text_quality": q_quality,
+    "tpch_q1": q_tpch_q1,
+}

@@ -1,0 +1,186 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All hot paths are JVM-side DataFrame expressions (whole-stage
+codegen); the only UDF is the SimHash packer (Arrow-batched).
+
+- exact dedup      : md5 fingerprint → groupBy, keep min id
+- shingling        : 3-token shingles via native transform/slice
+- MinHash          : k seeded md5 minima over distinct shingles
+                     (portable: md5 is identical in Spark and DuckDB)
+- LSH banding      : band key = md5(concat of band minima); candidate
+                     pairs = docs sharing a band bucket (self-join on
+                     the bucket key — the scale path: no O(n²))
+- n-gram Jaccard   : |A∩B| / |A∪B| over distinct shingles for
+                     candidate pairs (exact verify step after LSH)
+- SimHash          : 48-bit sign-sum over token hashes (pandas UDF)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+MINHASH_SEEDS = 8
+BAND_SIZE = 2  # 4 bands of 2 minima each
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def shingle_col(text_col: str = "text", k: int = 3) -> Column:
+    """Distinct k-token shingles, JVM-side."""
+    toks = _tokens(text_col)
+    return F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fingerprint, canonical_id, n_docs) — canonical = min id."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", seeds: int = MINHASH_SEEDS
+) -> DataFrame:
+    """(id, h0..h{seeds-1}) — min of seeded md5 over distinct shingles.
+    Docs with no shingles are dropped (nothing to compare)."""
+    sh = docs.select(F.col(id_col), F.explode(shingle_col(text_col)).alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(seeds)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seeds: int = MINHASH_SEEDS,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """(id, band_idx, band_key) — md5 of each band's concatenated
+    minima. Docs sharing any (band_idx, band_key) are near-dup
+    candidates; the bucket join replaces the O(n²) pair scan."""
+    sig = minhash_signatures(docs, id_col, text_col, seeds)
+    bands = []
+    for b in range(seeds // band_size):
+        cols = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols)).alias("band_key"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
+
+
+def lsh_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct candidate pairs (a_id < b_id) from shared LSH buckets."""
+    bands = lsh_bands(docs, id_col, text_col)
+    a = bands.select(F.col(id_col).alias("a_id"), "band_idx", "band_key")
+    b = bands.select(F.col(id_col).alias("b_id"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def shingle_overlap(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 2,
+) -> DataFrame:
+    """Exact n-gram Jaccard for pairs sharing ≥ min_shared shingles.
+
+    Shuffle shape: explode distinct shingles → self-join on shingle
+    (co-occurrence join, skew-prone on hot shingles → AQE skew-join
+    handles) → count per pair → join per-doc shingle counts.
+    """
+    sh = docs.select(F.col(id_col), F.explode(shingle_col(text_col)).alias("shingle"))
+    counts = sh.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_shingles"))
+
+    a = sh.select(F.col(id_col).alias("a_id"), "shingle")
+    b = sh.select(F.col(id_col).alias("b_id"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(counts.select(F.col(id_col).alias("a_id"), F.col("n_shingles").alias("a_n")), "a_id")
+        .join(counts.select(F.col(id_col).alias("b_id"), F.col("n_shingles").alias("b_n")), "b_id")
+        .select(
+            "a_id", "b_id", "n_shared",
+            (F.col("n_shared").cast("double")
+             / (F.col("a_n") + F.col("b_n") - F.col("n_shared")).cast("double")).alias("jaccard"),
+        )
+    )
+
+
+SIMHASH_BITS = 48
+
+
+def _simhash_one(tokens: list[str], bits: int = SIMHASH_BITS) -> int:
+    acc = [0] * bits
+    for t in tokens:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[: bits // 4], 16)
+        for j in range(bits):
+            acc[j] += 1 if (h >> j) & 1 else -1
+    v = 0
+    for j in range(bits):
+        if acc[j] > 0:
+            v |= 1 << j
+    return v
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash bigint) — 48-bit sign-sum sketch (Arrow-batched)."""
+
+    @pandas_udf("bigint")
+    def _sh(texts: pd.Series) -> pd.Series:
+        return pd.Series([_simhash_one((t or "").split(" ")) for t in texts])
+
+    return docs.select(F.col(id_col), _sh(F.col(text_col)).alias("simhash"))
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force; the LSH-bucketed
+    scale path lives in operators/similarity.py)."""
+    from ctinexus_spark.operators.similarity import cosine_expr
+
+    a = embeddings.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    b = embeddings.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.select("a_id", "b_id", cosine_expr("a_vec", "b_vec").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

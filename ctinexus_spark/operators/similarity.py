@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns.
+
+- brute-force cosine top-k (baseline; exact)
+- sign-random-projection LSH buckets (the scale path: bucket first,
+  then exact re-rank within buckets — turns O(n²) into a bucket join)
+
+Everything JVM-side: dot products via zip_with + aggregate inside
+whole-stage codegen. Hyperplanes are deterministic ±1 vectors derived
+from md5 (computed once driver-side, embedded as literals) so the SQL
+oracle can reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EMBED_DIM = 64
+N_PLANES = 8
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    """Cosine in double precision with a fixed evaluation order
+    (left-fold sums) so results are reproducible bit-for-bit."""
+    ac = F.transform(F.col(a), lambda x: x.cast("double"))
+    bc = F.transform(F.col(b), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ac, bc, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(ac, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(bc, F.lit(0.0), lambda s, x: s + x * x))
+    return dot / (na * nb)
+
+
+def hyperplane_signs(dim: int = EMBED_DIM, planes: int = N_PLANES) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: sign from md5(f"{plane}:{dim}")."""
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            row.append(1 if h[0] < "8" else -1)
+        out.append(row)
+    return out
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    queries defaults to the full table (all-pairs kNN). Broadcast the
+    query side when it is small — at scale the query set is the small
+    dim table of the join.
+    """
+    q = (queries or embeddings).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine_expr("q_vec", "c_vec").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+    planes: int = N_PLANES,
+) -> DataFrame:
+    """(id, bucket) — sign bits of dot products against fixed ±1
+    hyperplanes, concatenated into a bucket key."""
+    signs = hyperplane_signs(dim, planes)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = []
+    for p in range(planes):
+        plane = F.array(*[F.lit(float(s)) for s in signs[p]])
+        dot = F.aggregate(F.zip_with(vec, plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return embeddings.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank *within* LSH buckets.
+    The bucket join is the O(n²) → O(n·bucket) reduction that survives
+    the 100 TB scale-up."""
+    b = lsh_buckets(embeddings, id_col, vec_col)
+    withb = embeddings.join(b, id_col)
+    qa = withb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket")
+    ca = withb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket")
+    pairs = qa.join(ca, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select("query_id", "neighbor_id", cosine_expr("q_vec", "c_vec").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def knn_label_vote(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """k-NN majority-label classification (exact neighbors)."""
+    topk = brute_force_topk(embeddings, None, id_col, vec_col, k)
+    labeled = topk.join(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "n_label").agg(F.count("*").alias("votes"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("n_label"))
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("query_id", F.col("n_label").alias("predicted_label"))
+    )

@@ -1,0 +1,77 @@
+"""Checkpoint/resume semantics (north_rule): kill after stage N,
+re-run, identical final table, no duplicate work."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ctinexus_spark.checkpoint import StageStore, with_lineage
+from ctinexus_spark.metrics import measure_partitions
+
+
+@pytest.fixture
+def docs(spark):
+    return spark.createDataFrame(
+        [(f"u{i}", f"text {i}") for i in range(10)], "url string, text string"
+    )
+
+
+def test_commit_and_load(spark, docs, tmp_path):
+    store = StageStore(str(tmp_path))
+    store.commit(docs, "stage1")
+    assert store.is_committed("stage1")
+    got = store.load(spark, "stage1")
+    assert got.count() == 10
+
+
+def test_uncommitted_returns_none(spark, tmp_path):
+    store = StageStore(str(tmp_path))
+    assert store.load(spark, "nope") is None
+
+
+def test_torn_write_not_committed(spark, docs, tmp_path):
+    store = StageStore(str(tmp_path))
+    # simulate a crash: data dir exists, no marker
+    os.makedirs(tmp_path / "stage1" / "data", exist_ok=True)
+    assert not store.is_committed("stage1")
+    assert store.remaining(spark, docs, "stage1").count() == 10
+
+
+def test_resume_processes_only_missing(spark, docs, tmp_path):
+    store = StageStore(str(tmp_path))
+    first_half = docs.filter(F.col("url").isin(*[f"u{i}" for i in range(5)]))
+    store.commit(first_half.withColumn("out", F.upper("text")), "s")
+
+    processed_urls = []
+
+    def transform(df):
+        processed_urls.extend(r.url for r in df.select("url").collect())
+        return df.withColumn("out", F.upper("text"))
+
+    final = store.run_stage(spark, "s", docs, transform)
+    # only the 5 missing urls were re-processed
+    assert sorted(processed_urls) == [f"u{i}" for i in range(5, 10)]
+    assert final.count() == 10
+    # idempotent: second resume does nothing new
+    processed_urls.clear()
+    final2 = store.run_stage(spark, "s", docs, transform)
+    assert processed_urls == []
+    assert final2.count() == 10
+    rows = {(r.url, r.out) for r in final2.collect()}
+    assert rows == {(f"u{i}", f"TEXT {i}") for i in range(10)}
+
+
+def test_lineage_columns(spark, docs):
+    got = with_lineage(docs, "ie")
+    rows = got.collect()
+    assert all(r._stage == "ie" for r in rows)
+    assert all(r._partition_id >= 0 for r in rows)
+
+
+def test_metrics_rows(spark, docs):
+    m = measure_partitions(docs.repartition(4), "ie").collect()
+    assert sum(r.rows for r in m) == 10
+    assert all(r.stage == "ie" for r in m)
+    assert len({r.partition_id for r in m}) >= 1
+    assert all(r.tokens_in >= r.rows for r in m if r.rows)
