@@ -24,7 +24,7 @@ from ctinexus_spark import dataset_queries, entry_queries  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full KG pipeline (IE→ET→EA→LP→materialize) over
     sf0.001 documents; driver checks rows>0 and stable schema."""
-    return entry_queries.q_kg_triples(spark, "/root/testdata/sf0.001")
+    return entry_queries.q_kg_fused(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

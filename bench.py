@@ -30,10 +30,10 @@ def _headline_queries():
     """name → callable(spark, sf_dir) returning a DataFrame. Kept in
     one place so bench and the scaling run stay in sync."""
     q = {
-        "kg_pipeline": entry_queries.q_kg_triples,
+        "kg_pipeline": entry_queries.q_kg_fused,  # fused fast path
+        "kg_modular": entry_queries.q_kg_triples,
         "ie_triples": entry_queries.q_ie_triples,
         "lp_graph": entry_queries.q_lp_graph,
-        "ea_entities": entry_queries.q_ea_entities,
     }
     # optional families (land in later milestones; import-gated)
     try:

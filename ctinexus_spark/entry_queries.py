@@ -148,6 +148,17 @@ def q_kg_triples(spark, sf_dir):
     return kg.select(_doc_id(), "subj", "pred", "obj", "source")
 
 
+def q_kg_fused(spark, sf_dir):
+    """Same result as q_kg_triples through the fused fast path
+    (operators/fused.py; equivalence additionally pinned by
+    tests/test_fused_parity.py) — shares the kg_triples oracle."""
+    from ctinexus_spark.operators.fused import fused_kg
+
+    docs = _docs_norm(spark, sf_dir).persist()
+    kg = fused_kg(docs, StubModel(CONFIG), CONFIG)
+    return kg.select(_doc_id(), "subj", "pred", "obj", "source")
+
+
 # --- DuckDB oracle side -------------------------------------------------
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in LEXICON)
@@ -242,7 +253,10 @@ SELECT doc_id, s AS subj, 'precedes' AS pred, o AS obj, 'extracted' AS source FR
 for _name in ("ea_mentions", "ea_entities", "lp_graph", "kg_triples"):
     ORACLES[_name] = _BASE + ORACLES[_name]
 
+ORACLES["kg_fused"] = ORACLES["kg_triples"]
+
 QUERIES = {
+    "kg_fused": q_kg_fused,
     "ie_triples": q_ie_triples,
     "ie_counts": q_ie_counts,
     "et_typed": q_et_typed,

@@ -30,6 +30,30 @@ TOKEN_PRICES = {
 }
 
 
+def calculate_usage(model: str, response) -> dict:
+    """Token/cost accounting over the three response shapes the
+    reference's UsageCalculator accepts (llm_processor.py:1214-1272):
+    an object with a .usage attribute, a dict with a 'usage' key, and
+    anything else → zeros."""
+    iprice, oprice = TOKEN_PRICES.get(model, (0.0, 0.0))
+
+    if hasattr(response, "usage"):
+        p = response.usage.prompt_tokens
+        c = response.usage.completion_tokens
+    elif isinstance(response, dict) and "usage" in response:
+        p = response["usage"].get("prompt_tokens", 0)
+        c = response["usage"].get("completion_tokens", 0)
+    else:
+        p = c = 0
+
+    return {
+        "model": model,
+        "input": {"tokens": p, "cost": iprice * p},
+        "output": {"tokens": c, "cost": oprice * c},
+        "total": {"tokens": p + c, "cost": iprice * p + oprice * c},
+    }
+
+
 def measure_partitions(df: DataFrame, stage: str, model_name: str = "stub") -> DataFrame:
     """Map a DataFrame to per-partition metrics rows. Token counts are
     approximated as whitespace tokens over string columns (a real

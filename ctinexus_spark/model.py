@@ -140,6 +140,25 @@ class StubModel:
             [stub_embedding(t, self.config.embedding_dim, self.alias_map) for t in texts]
         )
 
+    def summarize(self, focused_text: str, repair: bool = False) -> str:
+        """Deterministic CTI summary: first sentences of the focused
+        text reshaped into one compliant 3-6 sentence paragraph. The
+        repair call always returns a well-formed paragraph (as the
+        reference's strict-format repair prompt demands)."""
+        import re as _re
+
+        sentences = [
+            s.strip()
+            for s in _re.split(r"(?<=[.!?])\s+", focused_text.replace("\n", " "))
+            if s.strip()
+        ][:4]
+        while len(sentences) < 3:
+            sentences.append("No further verifiable details were reported.")
+        para = " ".join(s if s.endswith((".", "!", "?")) else s + "." for s in sentences)
+        if len(para) < 120:
+            para += " The report provides limited additional context beyond these facts."
+        return para
+
     def link(self, doc_text: str, main_text: str, topic_text: str) -> str:
         return json.dumps(
             {

