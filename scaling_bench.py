@@ -67,25 +67,27 @@ def run_one(cores: int, reps: int) -> None:
     }))
 
 
+def _burn(_):
+    x = 0
+    for i in range(2 * 10**7):
+        x += i * i
+    return x
+
+
 def _hw_baseline() -> list[dict]:
     """Pure-Python CPU burn at rising process counts — measures what
     the (virtualized) host actually grants. This is the ceiling any
-    job can scale to on this box."""
+    job can scale to on this box. (_burn is module-level: mp.Pool
+    must pickle it.)"""
     import multiprocessing as mp
     import time as _t
-
-    def burn(_):
-        x = 0
-        for i in range(2 * 10**7):
-            x += i * i
-        return x
 
     rows = []
     base = None
     for n in (1, 4, 8, 16, 32):
         with mp.Pool(n) as p:
             t = _t.time()
-            p.map(burn, range(n))
+            p.map(_burn, range(n))
             wall = _t.time() - t
         if base is None:
             base = wall
