@@ -1,0 +1,86 @@
+"""Distributed connected components, skew-safe aggregation, and the
+synthetic skewed-corpus generator (incl. end-to-end CTI-mode run)."""
+
+from pyspark.sql import functions as F
+
+from ctinexus_spark.config import PipelineConfig
+from ctinexus_spark.datagen import synthesize_documents
+from ctinexus_spark.graph.components import connected_components
+from ctinexus_spark.model import StubModel
+from ctinexus_spark.operators.fused import fused_kg
+from ctinexus_spark.operators.normalize import normalize_documents
+from ctinexus_spark.skew import salted_count, with_salt
+
+
+class TestConnectedComponents:
+    def test_two_components(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "src bigint, dst bigint"
+        )
+        got = {r.vertex: r.component for r in connected_components(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_chain_longer_than_checkpoint_interval(self, spark):
+        # a 12-vertex path needs ~11 propagation rounds → exercises
+        # the localCheckpoint lineage truncation
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(11)], "src bigint, dst bigint"
+        )
+        got = {r.vertex: r.component for r in connected_components(edges).collect()}
+        assert set(got.values()) == {0}
+        assert len(got) == 12
+
+    def test_string_vertices(self, spark):
+        edges = spark.createDataFrame(
+            [("apt29", "cozy bear"), ("cozy bear", "the dukes"), ("akira", "akira_v2")],
+            "src string, dst string",
+        )
+        got = {r.vertex: r.component for r in connected_components(edges).collect()}
+        assert got["the dukes"] == "apt29"
+        assert got["akira_v2"] == "akira"
+
+
+class TestSkew:
+    def test_salt_range_and_determinism(self, spark):
+        df = spark.createDataFrame([(f"u{i}",) for i in range(100)], "url string")
+        a = {r.url: r._salt for r in with_salt(df, "url", buckets=8).collect()}
+        b = {r.url: r._salt for r in with_salt(df, "url", buckets=8).collect()}
+        assert a == b
+        assert set(a.values()) <= set(range(8))
+        assert len(set(a.values())) > 1
+
+    def test_salted_count_matches_plain(self, spark):
+        rows = [("hot.com", f"u{i}") for i in range(500)] + [
+            (f"cold{i}.com", f"c{i}") for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "domain string, url string")
+        salted = {r.domain: r.n for r in salted_count(df, "domain", "url", buckets=16).collect()}
+        plain = {r.domain: r["count"] for r in df.groupBy("domain").count().collect()}
+        assert salted == plain
+
+
+class TestDatagen:
+    def test_deterministic_and_skewed(self, spark):
+        docs = synthesize_documents(spark, n_docs=800)
+        again = synthesize_documents(spark, n_docs=800)
+        assert sorted(map(str, docs.collect())) == sorted(map(str, again.collect()))
+        by_domain = (
+            docs.withColumn("domain", F.regexp_extract("url", r"https://([^/]+)/", 1))
+            .groupBy("domain").count().collect()
+        )
+        counts = sorted((r["count"] for r in by_domain), reverse=True)
+        assert counts[0] >= 10 * counts[-1]  # hot-domain skew
+        langs = {r.lang for r in docs.select("lang").distinct().collect()}
+        assert "fr" in langs
+        assert docs.filter("text IS NULL AND html IS NOT NULL").count() > 0
+
+    def test_cti_pipeline_end_to_end_on_synthetic(self, spark):
+        cfg = PipelineConfig()  # CTI mode: IOC-regex stub extraction
+        docs = normalize_documents(synthesize_documents(spark, n_docs=60), lang_filter="en")
+        kg = fused_kg(docs, StubModel(cfg), cfg)
+        rows = kg.collect()
+        assert rows
+        objs = {r.obj for r in rows} | {r.subj for r in rows}
+        assert any(o.startswith("CVE-") for o in objs)
+        # null-text docs flow through the html fallback without error
+        assert all(r.pred for r in rows)

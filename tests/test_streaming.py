@@ -1,0 +1,64 @@
+"""Streaming ingestion tests: micro-batch KG construction with
+exactly-once checkpointing, and watermarked windowed aggregation."""
+
+import os
+
+from ctinexus_spark.config import PipelineConfig
+from ctinexus_spark.datagen import synthesize_documents
+from ctinexus_spark.model import StubModel
+from ctinexus_spark.streaming.ingest import stream_kg, windowed_event_counts
+
+
+def test_stream_kg_end_to_end(spark, tmp_path):
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    docs = synthesize_documents(spark, n_docs=40)
+    docs.write.parquet(in_dir)
+
+    q = stream_kg(spark, in_dir, out_dir, ckpt, StubModel(PipelineConfig()))
+    q.awaitTermination(120)
+
+    kg = spark.read.parquet(out_dir)
+    n_first = kg.count()
+    assert n_first > 0
+    assert {"url", "subj", "pred", "obj", "source", "_batch_id"} <= set(kg.columns)
+
+    # restart with NO new files: checkpoint prevents reprocessing
+    q2 = stream_kg(spark, in_dir, out_dir, ckpt, StubModel(PipelineConfig()))
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out_dir).count() == n_first
+
+    # new files arrive → only they are processed
+    synthesize_documents(spark, n_docs=10, seed=7).write.mode("append").parquet(in_dir)
+    q3 = stream_kg(spark, in_dir, out_dir, ckpt, StubModel(PipelineConfig()))
+    q3.awaitTermination(60)
+    assert spark.read.parquet(out_dir).count() > n_first
+
+
+def test_windowed_event_counts_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "events")
+    spark.createDataFrame(
+        [
+            ("2026-01-01 10:01:00", "click"),
+            ("2026-01-01 10:04:00", "click"),
+            ("2026-01-01 10:12:00", "view"),
+        ],
+        "ts_s string, event_type string",
+    ).selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "event_type").write.parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, event_type string").parquet(src)
+    agg = windowed_event_counts(stream)
+    out = str(tmp_path / "agg_out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "agg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows; with a single
+    # bounded batch the final watermark closes them after the run —
+    # verify the sink path exists and the query completed cleanly.
+    assert q.lastProgress is not None
+    assert os.path.isdir(out)
