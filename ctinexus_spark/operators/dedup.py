@@ -95,7 +95,9 @@ def lsh_bands(
 
 def lsh_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Distinct candidate pairs (a_id < b_id) from shared LSH buckets."""
-    bands = lsh_bands(docs, id_col, text_col)
+    # persist: both sides of the self-join consume the band lineage
+    # (shingle explode + 8 md5 minima) — unpersisted it computes twice
+    bands = lsh_bands(docs, id_col, text_col).persist()
     a = bands.select(F.col(id_col).alias("a_id"), "band_idx", "band_key")
     b = bands.select(F.col(id_col).alias("b_id"), "band_idx", "band_key")
     return (

@@ -62,6 +62,10 @@ def test_fused_pipeline_shuffle_budget(spark):
     from ctinexus_spark.operators.fused import align_graph_triples, extract_and_tag
     from ctinexus_spark.operators.normalize import normalize_documents
 
+    # cached plans from earlier tests (persisted pipeline stages)
+    # substitute InMemoryRelations into this lineage and change the
+    # exchange count — measure the clean plan
+    spark.catalog.clearCache()
     cfg = PipelineConfig(lexicon=eq.LEXICON)
     docs = normalize_documents(eq.load_documents(spark, SF), lang_filter=None)
     typed = extract_and_tag(docs, StubModel(cfg))
