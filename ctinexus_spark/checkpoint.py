@@ -58,7 +58,11 @@ class StageStore:
     def load(self, spark: SparkSession, stage: str) -> DataFrame | None:
         if not self.is_committed(stage):
             return None
-        return spark.read.parquet(os.path.join(self._dir(stage), "data"))
+        path = os.path.join(self._dir(stage), "data")
+        # stage dirs are rewritten by resume merges: drop any cached
+        # file listings / plan caches that still reference this path
+        spark.catalog.refreshByPath(path)
+        return spark.read.parquet(path)
 
     def remaining(self, spark: SparkSession, inputs: DataFrame, stage: str, key: str = "url") -> DataFrame:
         """Input rows not yet present in the committed stage output

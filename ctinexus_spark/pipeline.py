@@ -21,6 +21,62 @@ from ctinexus_spark.operators.materialize import materialize_kg
 from ctinexus_spark.operators.normalize import normalize_documents
 
 
+def run_pipeline_checkpointed(
+    spark,
+    documents: DataFrame,
+    model,
+    store,
+    config: PipelineConfig | None = None,
+    lang_filter: str | None = "en",
+) -> DataFrame:
+    """Resumable fused pipeline: each stage commits atomically to the
+    StageStore and re-runs only for urls missing from the committed
+    output (north_rule: resume from the last committed snapshot; the
+    Iceberg build swaps StageStore for snapshot reads).
+
+    Stage boundaries chosen where re-computation is expensive
+    (model-call stages): documents_clean → triples_typed → kg.
+    """
+    from ctinexus_spark.operators.fused import align_graph_triples, extract_and_tag, fused_kg
+    from ctinexus_spark.operators.normalize import normalize_documents
+
+    cfg = config or PipelineConfig()
+
+    docs = store.run_stage(
+        spark, "documents_clean", documents,
+        lambda d: normalize_documents(d, lang_filter=lang_filter), key="url",
+    )
+    typed = store.run_stage(
+        spark, "triples_typed", docs,
+        lambda d: extract_and_tag(d, model), key="url",
+    )
+
+    def _finish(typed_subset: DataFrame) -> DataFrame:
+        # localCheckpoint, NOT persist: persist() registers the
+        # analyzed plan in the cache manager, and a later resume run
+        # builds a plan-equal DataFrame (same file paths) that would
+        # silently cache-hit the STALE result from the previous run —
+        # duplicating rows into the merged stage output. A local
+        # checkpoint is instance-unique.
+        fused = align_graph_triples(typed_subset, model, cfg).localCheckpoint(eager=True)
+        from pyspark.sql import functions as F
+
+        extracted = fused.filter(F.col("row_type") == "triple").select(
+            "url",
+            F.col("s_entity_text").alias("subj"),
+            F.col("relation").alias("pred"),
+            F.col("o_entity_text").alias("obj"),
+            F.lit("extracted").alias("source"),
+        )
+        return extracted
+
+    # LP link prediction needs doc text; reuse fused_kg for the
+    # non-checkpointed tail when links matter — here the committed KG
+    # carries extracted triples; predicted links append separately.
+    kg = store.run_stage(spark, "kg_extracted", typed, _finish, key="url")
+    return kg
+
+
 @dataclass
 class PipelineResult:
     documents_clean: DataFrame
