@@ -149,6 +149,41 @@ def q_revenue_join(spark, sf_dir):
     )
 
 
+def q_region_revenue(spark, sf_dir):
+    """TPC-H Q5-style snowflake join: region → nation → customer →
+    orders → lineitem, dims broadcast, revenue rolled up per region."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(rev.alias("revenue"), F.count("*").cast("bigint").alias("n_items"))
+    )
+
+
+def q_user_top_events(spark, sf_dir):
+    """Window top-k: each user's 3 highest-value events
+    (row_number with deterministic tie-break)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", "event_type", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def q_event_sessions(spark, sf_dir):
     """Sessionization: 30-min inactivity gap → new session (window
     functions; at scale this is the watermarked streaming shape)."""
@@ -364,6 +399,24 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment, o_orderpriority
 """,
+    "region_revenue": """
+SELECT r_name,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    "user_top_events": """
+SELECT user_id, event_id, event_type, CAST(rk AS INT) AS rk FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY "value" DESC, event_id) AS rk
+  FROM events
+) WHERE rk <= 3
+""",
     "event_sessions": """
 WITH marked AS (
   SELECT user_id, "value",
@@ -406,6 +459,8 @@ QUERIES = {
     "knn_vote": q_knn_vote,
     "tpch_q1": q_tpch_q1,
     "revenue_join": q_revenue_join,
+    "region_revenue": q_region_revenue,
+    "user_top_events": q_user_top_events,
     "event_sessions": q_event_sessions,
     "event_type_rollup": q_event_type_rollup,
 }
