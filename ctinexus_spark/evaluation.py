@@ -89,9 +89,65 @@ class ParityReport:
     precision: float
     recall: float
     text_identical_docs: int
+    ea_pair_precision: float = 1.0
+    ea_pair_recall: float = 1.0
 
     def as_dict(self) -> dict:
         return self.__dict__.copy()
+
+
+def build_alias_map(annotations: dict[str, dict]) -> dict[str, str]:
+    """alias mention → canonical entity_name from the annotation
+    `entities` ground truth — drives the stub embedding so EA's
+    cosine merge reproduces the gold clusters (the reference gets the
+    same signal from real embeddings)."""
+    amap: dict[str, str] = {}
+    for ann in annotations.values():
+        for ent in ann.get("entities", []):
+            for m in ent.get("mentions", []):
+                if m != ent["entity_name"]:
+                    amap.setdefault(m, ent["entity_name"])
+    return amap
+
+
+def _ea_pair_metrics(annotations: dict[str, dict], aligned_rows) -> tuple[float, float]:
+    """Pairwise same-entity link P/R over mentions that actually occur
+    in each document's typed triples (EA can only merge what IE/ET
+    surfaced). Pairs are unordered (m1, m2) with m1 < m2, per doc."""
+    # predicted: mention_text pairs sharing entity_id per url
+    by_doc_pred: dict[str, dict[int, set[str]]] = {}
+    seen_mentions: dict[str, set[str]] = {}
+    for r in aligned_rows:
+        by_doc_pred.setdefault(r.url, {}).setdefault(r.entity_id, set()).add(r.mention_text)
+        seen_mentions.setdefault(r.url, set()).add(r.mention_text)
+
+    def pairs(groups) -> set[tuple[str, str]]:
+        out = set()
+        for g in groups:
+            g = sorted(g)
+            for i in range(len(g)):
+                for j in range(i + 1, len(g)):
+                    out.add((g[i], g[j]))
+        return out
+
+    n_pred = n_gold = n_hit = 0
+    for url, ann in annotations.items():
+        present = seen_mentions.get(url, set())
+        gold_groups = []
+        for ent in ann.get("entities", []):
+            members = {m for m in [ent["entity_name"], *ent.get("mentions", [])] if m in present}
+            if len(members) > 1:
+                gold_groups.append(members)
+        pred_groups = [g for g in by_doc_pred.get(url, {}).values() if len(g) > 1]
+        gp, pp = pairs(gold_groups), pairs(pred_groups)
+        n_gold += len(gp)
+        n_pred += len(pp)
+        n_hit += len(gp & pp)
+
+    return (
+        n_hit / n_pred if n_pred else 1.0,
+        n_hit / n_gold if n_gold else 1.0,
+    )
 
 
 def evaluate_parity(spark: SparkSession, limit: int | None = None) -> ParityReport:
@@ -99,6 +155,7 @@ def evaluate_parity(spark: SparkSession, limit: int | None = None) -> ParityRepo
     annotations = load_annotations(limit=limit)
     docs = annotation_documents(spark, annotations)
     model = build_replay_model(annotations, cfg)
+    model.alias_map = build_alias_map(annotations)
     result = run_pipeline(docs, model, cfg)
 
     # --- triple P/R: subject/object EM + relation EM, per document ---
@@ -120,6 +177,12 @@ def evaluate_parity(spark: SparkSession, limit: int | None = None) -> ParityRepo
         n_pred += len(got)
         n_match += len(gold & got)
 
+    # --- EA alignment: pairwise same-entity links vs gold entities ---
+    aligned_rows = result.aligned_nodes.select(
+        "url", "entity_id", "mention_text"
+    ).collect()
+    ea_p, ea_r = _ea_pair_metrics(annotations, aligned_rows)
+
     # --- byte-identity: Spark text_norm == local normalize_text ---
     norm_rows = result.documents_clean.select("url", "text_norm").collect()
     identical = sum(
@@ -136,4 +199,6 @@ def evaluate_parity(spark: SparkSession, limit: int | None = None) -> ParityRepo
         precision=n_match / n_pred if n_pred else 1.0,
         recall=n_match / n_gold if n_gold else 1.0,
         text_identical_docs=identical,
+        ea_pair_precision=ea_p,
+        ea_pair_recall=ea_r,
     )

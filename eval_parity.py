@@ -34,6 +34,13 @@ def main() -> None:
             f"| precision | {report.precision:.4f} | ≥ 0.95 |\n"
             f"| recall | {report.recall:.4f} | ≥ 0.95 |\n"
             f"| byte-identical text_norm docs | {report.text_identical_docs}/{report.n_docs} | all |\n"
+            f"| EA same-entity pair precision | {report.ea_pair_precision:.4f} | supplementary |\n"
+            f"| EA same-entity pair recall | {report.ea_pair_recall:.4f} | supplementary |\n"
+            "\nEA rows measure hierarchical alignment (type blocking +\n"
+            "cosine merge + IOC unmerge) against the annotation `entities`\n"
+            "ground truth; residual recall gaps are faithful reference\n"
+            "behaviors (all-IOC clusters are deliberately unmerged;\n"
+            "star-mode last-write-wins can split human-annotated groups).\n"
         )
 
 
