@@ -110,6 +110,20 @@ def q_knn_vote(spark, sf_dir):
     return S.knn_label_vote(_emb(spark, sf_dir))
 
 
+def q_quality_gate(spark, sf_dir):
+    from ctinexus_spark.operators.prepare import quality_gate
+
+    return quality_gate(_docs(spark, sf_dir), min_tokens=30).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_text_dedupe(spark, sf_dir):
+    from ctinexus_spark.operators.prepare import exact_text_dedupe
+
+    return exact_text_dedupe(_docs(spark, sf_dir)).select("doc_id", "n_chars")
+
+
 # --- classical ----------------------------------------------------------
 
 
@@ -380,6 +394,22 @@ SELECT query_id, n_label AS predicted_label FROM (
   FROM votes
 ) WHERE rk = 1
 """,
+    "quality_gate": f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE text IS NOT NULL
+  AND CAST(len({_TOKS}) AS DOUBLE) >= 30.0
+  AND CAST(len(list_filter({_TOKS}, w -> w IN ({_STOPS}))) AS DOUBLE)
+      / CAST(len({_TOKS}) AS DOUBLE) <= 0.9
+  AND CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+      / CAST(len({_TOKS}) AS DOUBLE) >= 0.1
+""",
+    "text_dedupe": """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS _rn
+  FROM documents
+) WHERE _rn = 1
+""",
     "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -457,6 +487,8 @@ QUERIES = {
     "lsh_buckets": q_lsh_buckets,
     "lsh_topk": q_lsh_topk,
     "knn_vote": q_knn_vote,
+    "quality_gate": q_quality_gate,
+    "text_dedupe": q_text_dedupe,
     "tpch_q1": q_tpch_q1,
     "revenue_join": q_revenue_join,
     "region_revenue": q_region_revenue,
