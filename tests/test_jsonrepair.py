@@ -2,8 +2,20 @@
 llm_processor.py:1389-1441; test seeds from FIXTURES.md §6)."""
 
 import pytest
+from hypothesis import given
+from hypothesis import strategies as st
 
 from ctinexus_spark.jsonrepair import parse_llm_json
+
+
+@given(st.text(max_size=300))
+def test_arbitrary_text_never_crashes_unexpectedly(s):
+    """Model output is arbitrary: the only permitted failure is
+    ValueError (the reference's contract)."""
+    try:
+        parse_llm_json(s)
+    except ValueError:
+        pass
 
 
 def test_clean_json():
