@@ -110,6 +110,14 @@ def q_knn_vote(spark, sf_dir):
     return S.knn_label_vote(_emb(spark, sf_dir))
 
 
+def q_ivf_assign(spark, sf_dir):
+    return S.ivf_assign(_emb(spark, sf_dir))
+
+
+def q_ivf_topk(spark, sf_dir):
+    return S.ivf_topk(_emb(spark, sf_dir))
+
+
 def q_quality_gate(spark, sf_dir):
     from ctinexus_spark.operators.prepare import quality_gate
 
@@ -265,6 +273,28 @@ _BAND_ROWS = " UNION ALL ".join(
 
 _HYPERPLANES = S.hyperplane_signs()
 
+_CENTROIDS = S.ivf_centroids()
+_CENTROID_VALUES = ", ".join(
+    f"({i}, [{', '.join(f'{x!r}' for x in c)}]::DOUBLE[])" for i, c in enumerate(_CENTROIDS)
+)
+# nearest centroid: max cosine, ties toward higher cell index (matches
+# Spark's struct array_max ordering)
+_IVF_ASSIGN_SQL = f"""
+cents(cell, cvec) AS (SELECT * FROM (VALUES {_CENTROID_VALUES})),
+scored_cells AS (
+  SELECT e.vec_id, c.cell,
+         list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, CAST(cell AS INT) AS cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+    FROM scored_cells
+  ) WHERE rn = 1
+)
+"""
+
 
 def _plane_sql(p: int) -> str:
     lits = ", ".join(f"{float(s)}" for s in _HYPERPLANES[p])
@@ -365,6 +395,26 @@ scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
   FROM withb q JOIN withb c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    "ivf_assign": f"""
+WITH {_IVF_ASSIGN_SQL}
+SELECT vec_id, cell FROM assign
+""",
+    "ivf_topk": f"""
+WITH {_IVF_ASSIGN_SQL},
+withc AS (
+  SELECT e.vec_id, e.embedding, a.cell FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
+  FROM withc q JOIN withc c ON q.cell = c.cell AND q.vec_id != c.vec_id
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
   SELECT query_id, neighbor_id,
@@ -487,6 +537,8 @@ QUERIES = {
     "lsh_buckets": q_lsh_buckets,
     "lsh_topk": q_lsh_topk,
     "knn_vote": q_knn_vote,
+    "ivf_assign": q_ivf_assign,
+    "ivf_topk": q_ivf_topk,
     "quality_gate": q_quality_gate,
     "text_dedupe": q_text_dedupe,
     "tpch_q1": q_tpch_q1,

@@ -115,6 +115,61 @@ def lsh_topk(
     )
 
 
+N_IVF_CELLS = 16
+
+
+def ivf_centroids(dim: int = EMBED_DIM, cells: int = N_IVF_CELLS) -> list[list[float]]:
+    """Deterministic seed centroids (md5-derived unit vectors). A
+    production build replaces these with k-means centroids trained on
+    a sample; the assignment/search plumbing is identical."""
+    from ctinexus_spark.model import stub_embedding
+
+    return [stub_embedding(f"ivf-centroid-{i}", dim).tolist() for i in range(cells)]
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+    cells: int = N_IVF_CELLS,
+) -> DataFrame:
+    """(id, cell) — nearest centroid by cosine (struct array_max:
+    max cosine, deterministic tie toward higher index)."""
+    cents = ivf_centroids(dim, cells)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda s, x: s + x * x))
+    scored = []
+    for i, c in enumerate(cents):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(F.zip_with(vec, carr, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+        scored.append(F.struct((dot / norm).alias("c"), F.lit(i).alias("i")))
+    best = F.array_max(F.array(*scored))
+    return embeddings.select(F.col(id_col), best["i"].cast("int").alias("cell"))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank within the query's IVF
+    cell (nprobe=1). Same bucket-join scale shape as lsh_topk."""
+    cellmap = ivf_assign(embeddings, id_col, vec_col)
+    withc = embeddings.join(cellmap, id_col)
+    qa = withc.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell")
+    ca = withc.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell")
+    pairs = qa.join(ca, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select("query_id", "neighbor_id", cosine_expr("q_vec", "c_vec").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def knn_label_vote(
     embeddings: DataFrame,
     id_col: str = "vec_id",
