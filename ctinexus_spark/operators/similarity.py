@@ -14,8 +14,11 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 EMBED_DIM = 64
 N_PLANES = 8
@@ -134,18 +137,25 @@ def ivf_assign(
     dim: int = EMBED_DIM,
     cells: int = N_IVF_CELLS,
 ) -> DataFrame:
-    """(id, cell) — nearest centroid by cosine (struct array_max:
-    max cosine, deterministic tie toward higher index)."""
-    cents = ivf_centroids(dim, cells)
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda s, x: s + x * x))
-    scored = []
-    for i, c in enumerate(cents):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        dot = F.aggregate(F.zip_with(vec, carr, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-        scored.append(F.struct((dot / norm).alias("c"), F.lit(i).alias("i")))
-    best = F.array_max(F.array(*scored))
-    return embeddings.select(F.col(id_col), best["i"].cast("int").alias("cell"))
+    """(id, cell) — nearest centroid by cosine, vectorized as one
+    numpy matmul per Arrow batch (a cells×dim expression tree blows up
+    codegen; the matrix product is the scale shape). Argmax ties are
+    impossible on real-valued cosines, so float-summation-order
+    differences vs the SQL oracle cannot flip the assignment."""
+    cents = np.asarray(ivf_centroids(dim, cells), dtype=np.float64)  # unit rows
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ cents.T
+        # tie rule (unreachable in practice): higher cell index wins,
+        # matching the SQL oracle's ORDER BY cos DESC, cell DESC
+        best = (sims.shape[1] - 1) - np.argmax(sims[:, ::-1], axis=1)
+        return pd.Series(best.astype("int32"))
+
+    return embeddings.select(F.col(id_col), _assign(F.col(vec_col)).alias("cell"))
 
 
 def ivf_topk(
@@ -157,7 +167,7 @@ def ivf_topk(
     """Approximate top-k: exact cosine re-rank within the query's IVF
     cell (nprobe=1). Same bucket-join scale shape as lsh_topk."""
     cellmap = ivf_assign(embeddings, id_col, vec_col)
-    withc = embeddings.join(cellmap, id_col)
+    withc = embeddings.join(cellmap, id_col).persist()  # both join sides
     qa = withc.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell")
     ca = withc.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell")
     pairs = qa.join(ca, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
