@@ -169,6 +169,50 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return docs.select(F.col(id_col), _sh(F.col(text_col)).alias("simhash"))
 
 
+def simhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash hamming distance.
+
+    Pigeonhole banding: split the 48-bit sketch into `bands` chunks —
+    any pair within hamming ≤ bands-1 shares at least one identical
+    chunk, so a bucket join on (band_idx, chunk) finds all such pairs
+    without O(n²); the exact hamming filter then enforces max_hamming.
+    JVM-side bit ops on the sketch; the sketch itself comes from the
+    Arrow-batched simhash() UDF.
+    """
+    sh = simhash(docs, id_col, text_col)
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("chunk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sh.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
+        id_col, "simhash", F.col("c.band_idx").alias("band_idx"), F.col("c.chunk").alias("chunk")
+    ).persist()
+
+    a = banded.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sh"), "band_idx", "chunk")
+    b = banded.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sh"), "band_idx", "chunk")
+    pairs = (
+        a.join(b, ["band_idx", "chunk"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     id_col: str = "vec_id",
