@@ -253,10 +253,47 @@ SELECT doc_id, s AS subj, 'precedes' AS pred, o AS obj, 'extracted' AS source FR
 for _name in ("ea_mentions", "ea_entities", "lp_graph", "kg_triples"):
     ORACLES[_name] = _BASE + ORACLES[_name]
 
+def q_kg_entity_degree(spark, sf_dir):
+    """Corpus-wide KG analytics: per-document entity participation
+    counts over the materialized triple table (the 'graph IS the
+    table' query shape of SURVEY §2.1 S5)."""
+    kg = q_kg_triples(spark, sf_dir)
+    subj = kg.select("doc_id", F.col("subj").alias("entity"))
+    obj = kg.select("doc_id", F.col("obj").alias("entity"))
+    return (
+        subj.unionByName(obj)
+        .groupBy("doc_id", "entity")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+
+
+def q_doc_sample(spark, sf_dir):
+    """Deterministic 10% corpus sample: md5-prefix threshold — the
+    reproducible sampling primitive for eval-split carving (portable:
+    md5 is identical in Spark and DuckDB, unlike engine RNGs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < F.lit("1a")
+    ).select("doc_id", "lang", "n_chars")
+
+
 ORACLES["kg_fused"] = ORACLES["kg_triples"]
+ORACLES["kg_entity_degree"] = _BASE + """
+SELECT doc_id, entity, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT doc_id, s AS entity FROM trip
+  UNION ALL
+  SELECT doc_id, o AS entity FROM trip
+) GROUP BY doc_id, entity
+"""
+ORACLES["doc_sample"] = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+"""
 
 QUERIES = {
     "kg_fused": q_kg_fused,
+    "kg_entity_degree": q_kg_entity_degree,
+    "doc_sample": q_doc_sample,
     "ie_triples": q_ie_triples,
     "ie_counts": q_ie_counts,
     "et_typed": q_et_typed,
