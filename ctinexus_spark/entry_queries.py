@@ -253,6 +253,29 @@ SELECT doc_id, s AS subj, 'precedes' AS pred, o AS obj, 'extracted' AS source FR
 for _name in ("ea_mentions", "ea_entities", "lp_graph", "kg_triples"):
     ORACLES[_name] = _BASE + ORACLES[_name]
 
+def q_lp_split_graph(spark, sf_dir):
+    """LP graph analysis over MULTI-component documents: the
+    SplitChainModel extractor pairs terms only within each half of a
+    document, so docs yield two chains — connected into one component
+    exactly when some term participates in both halves (shared
+    mention ⇒ shared entity). Exercises component discovery order,
+    per-component main selection and largest-component topic choice
+    under the SQL oracle."""
+    from ctinexus_spark.model import SplitChainModel
+
+    docs = _docs_norm(spark, sf_dir).persist()
+    model = SplitChainModel(CONFIG)
+    ie = extract_triples(docs, model).filter("valid")
+    typed = tag_triples(ie, docs, StubModel(CONFIG)).persist()
+    nodes = mint_mentions(typed)
+    emb = embed_mentions(nodes, StubModel(CONFIG))
+    aligned = align_entities(nodes, emb, CONFIG)
+    return analyze_graph(aligned).select(
+        _doc_id(), "entity_id", "entity_text", "component_id",
+        "component_size", "degree", "is_main", "is_topic",
+    )
+
+
 def q_kg_entity_degree(spark, sf_dir):
     """Corpus-wide KG analytics: per-document entity participation
     counts over the materialized triple table (the 'graph IS the
@@ -278,6 +301,82 @@ def q_doc_sample(spark, sf_dir):
 
 
 ORACLES["kg_fused"] = ORACLES["kg_triples"]
+
+# Multi-component LP oracle: pairs never cross the doc's midpoint;
+# the two chains share a component iff some term participates in both
+# halves. Derivation mirrors analyze_graph's pinned orders: node
+# stream key skey = t_idx*2 + side, discovery order = min skey.
+ORACLES["lp_split_graph"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split(text, ' '), w -> w IN ({_TERMS_SQL}))) AS term,
+         generate_subscripts(list_filter(str_split(text, ' '), w -> w IN ({_TERMS_SQL})), 1) AS pos
+  FROM documents
+),
+nn AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id,
+         CAST(a.pos - 1 - CASE WHEN a.pos > (nn.n // 2) THEN 1 ELSE 0 END AS INT) AS t_idx,
+         a.term AS s, b.term AS o,
+         CASE WHEN a.pos + 1 <= (nn.n // 2) THEN 0 ELSE 1 END AS part
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN nn ON nn.doc_id = a.doc_id
+  WHERE a.pos != (nn.n // 2)
+),
+occ AS (
+  SELECT doc_id, s AS term, t_idx * 2 AS skey, part FROM pairs
+  UNION ALL
+  SELECT doc_id, o AS term, t_idx * 2 + 1 AS skey, part FROM pairs
+),
+ment AS (
+  SELECT doc_id, term, min(skey) AS fs, count(*) AS degree,
+         min(part) AS minp, max(part) AS maxp
+  FROM occ GROUP BY doc_id, term
+),
+ment2 AS (
+  SELECT doc_id, term, fs, degree, minp, maxp,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY fs) - 1 AS INT) AS mention_id,
+         {_CLASS_CASE} AS cls
+  FROM ment
+),
+clsfp AS (SELECT doc_id, cls, min(fs) AS cfs FROM ment2 GROUP BY doc_id, cls),
+ent AS (
+  SELECT m.doc_id, m.term, m.degree, m.minp, m.maxp, m.mention_id,
+         CAST(row_number() OVER (PARTITION BY m.doc_id ORDER BY c.cfs, m.mention_id) - 1 AS INT) AS entity_id
+  FROM ment2 m JOIN clsfp c ON m.doc_id = c.doc_id AND m.cls = c.cls
+),
+docmerge AS (
+  SELECT doc_id, max(CASE WHEN minp != maxp THEN 1 ELSE 0 END) AS merged,
+         min(minp) AS first_part
+  FROM ment GROUP BY doc_id
+),
+entcomp AS (
+  SELECT e.*, CAST(CASE WHEN d.merged = 1 THEN 0
+                        WHEN e.minp = d.first_part THEN 0 ELSE 1 END AS INT) AS component_id
+  FROM ent e JOIN docmerge d ON e.doc_id = d.doc_id
+),
+sized AS (
+  SELECT *, CAST(count(*) OVER (PARTITION BY doc_id, component_id) AS INT) AS component_size
+  FROM entcomp
+),
+flags AS (
+  SELECT *,
+         (row_number() OVER (PARTITION BY doc_id, component_id ORDER BY degree DESC, entity_id) = 1) AS is_main
+  FROM sized
+),
+topcomp AS (
+  SELECT doc_id, component_id FROM (
+    SELECT doc_id, component_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY component_size DESC, component_id) AS rc
+    FROM (SELECT DISTINCT doc_id, component_id, component_size FROM sized)
+  ) WHERE rc = 1
+)
+SELECT f.doc_id, f.entity_id, f.term AS entity_text, f.component_id, f.component_size,
+       CAST(f.degree AS INT) AS degree, f.is_main,
+       (f.is_main AND t.component_id = f.component_id) AS is_topic
+FROM flags f JOIN topcomp t ON f.doc_id = t.doc_id
+"""
 ORACLES["kg_entity_degree"] = _BASE + """
 SELECT doc_id, entity, CAST(count(*) AS BIGINT) AS degree FROM (
   SELECT doc_id, s AS entity FROM trip
@@ -293,6 +392,7 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
 QUERIES = {
     "kg_fused": q_kg_fused,
     "kg_entity_degree": q_kg_entity_degree,
+    "lp_split_graph": q_lp_split_graph,
     "doc_sample": q_doc_sample,
     "ie_triples": q_ie_triples,
     "ie_counts": q_ie_counts,

@@ -171,6 +171,27 @@ class StubModel:
         )
 
 
+class SplitChainModel(StubModel):
+    """Stub extractor producing TWO chains per document: recognized
+    terms are split at the midpoint (first half / second half of the
+    occurrence list) and adjacent pairs never cross the split. Each
+    document therefore yields two connected components — exercising
+    LP's multi-subgraph main/topic selection under a SQL oracle."""
+
+    def extract(self, texts: list[str]) -> list[str]:
+        out = []
+        for t in texts:
+            mentions = _mentions_in_order(t, self.config.lexicon)
+            half = len(mentions) // 2
+            triples = [
+                {"subject": a, "relation": "precedes", "object": b}
+                for part in (mentions[:half], mentions[half:])
+                for a, b in zip(part, part[1:])
+            ]
+            out.append(json.dumps({"triplets": triples}))
+        return out
+
+
 class ReplayModel(StubModel):
     """Replays fixed answers keyed by document text — used to measure
     parity against the reference's annotated eval corpus without any
