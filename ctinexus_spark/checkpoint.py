@@ -1,18 +1,26 @@
-"""Stage checkpointing + resume.
+"""Stage checkpointing + resume (snapshot-manifest store).
 
 north_rule: every stage writes per-partition lineage + metrics and the
 job "resumes from the last committed snapshot checkpoint".
 
-In production this is Iceberg (`df.writeTo(table).append()` + snapshot
-ids); the sandbox has no Iceberg runtime jar, so the same contract is
-implemented on parquet directories with atomic commit markers:
+Layout — Iceberg's snapshot/manifest pattern on plain parquet (the
+sandbox has no Iceberg runtime jar; `IcebergStageStore` below maps the
+same contract onto a real catalog when one is configured):
 
-    <root>/<stage>/data/*.parquet     (the stage output)
-    <root>/<stage>/_COMMITTED         (written only after success)
+    <root>/<stage>/v_<k>/*.parquet    immutable snapshot version dirs
+    <root>/<stage>/_MANIFEST.json     {"versions": ["v_0", ...], ...}
 
-Resume = anti-join the input's urls against a committed stage output —
-only unprocessed documents re-run (the Iceberg version swaps the
-directory scan for a snapshot read; the dataflow is identical).
+Commit protocol: write the new version dir first, then atomically
+replace the manifest (tempfile + os.replace). The manifest is the
+single source of truth, so a crash at ANY point leaves the previous
+committed snapshot readable — no window where the last snapshot is
+deleted before the new one is live. Resume appends are O(delta): each
+resume adds one version dir holding only the fresh rows; prior
+snapshot data is never rewritten.
+
+Resume = anti-join the input's keys against the committed stage output
+— only unprocessed documents re-run (the Iceberg version swaps the
+manifest read for a snapshot read; the dataflow is identical).
 """
 
 from __future__ import annotations
@@ -20,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,35 +43,65 @@ class StageStore:
     def _dir(self, stage: str) -> str:
         return os.path.join(self.root, stage)
 
-    def _marker(self, stage: str) -> str:
-        return os.path.join(self._dir(stage), "_COMMITTED")
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self._dir(stage), "_MANIFEST.json")
+
+    def _read_manifest(self, stage: str) -> dict | None:
+        try:
+            with open(self._manifest_path(stage)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _write_manifest(self, stage: str, versions: list[str]) -> None:
+        """Atomic replace: the manifest either still names the old
+        snapshot set or already names the new one — never torn."""
+        payload = {"stage": stage, "versions": versions, "committed_at": time.time()}
+        fd, tmp = tempfile.mkstemp(dir=self._dir(stage), prefix="_MANIFEST.", suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, self._manifest_path(stage))
 
     def is_committed(self, stage: str) -> bool:
-        return os.path.exists(self._marker(stage))
+        return self._read_manifest(stage) is not None
 
-    def commit(self, df: DataFrame, stage: str, partition_by: list[str] | None = None) -> str:
-        """Write a stage output atomically: data first, marker last.
-        A crash mid-write leaves no marker → the stage re-runs."""
+    def _append_version(
+        self,
+        df: DataFrame,
+        stage: str,
+        prior_versions: list[str],
+        partition_by: list[str] | None = None,
+    ) -> str:
         out = self._dir(stage)
-        data = os.path.join(out, "data")
-        if os.path.exists(out) and not self.is_committed(stage):
-            shutil.rmtree(out)  # torn previous attempt
+        os.makedirs(out, exist_ok=True)
+        # garbage-collect version dirs a previous crash left unreferenced
+        live = set(prior_versions)
+        for name in os.listdir(out):
+            if name.startswith("v_") and name not in live:
+                shutil.rmtree(os.path.join(out, name), ignore_errors=True)
+        k = 1 + max((int(v[2:]) for v in prior_versions), default=-1)
+        version = f"v_{k}"
+        path = os.path.join(out, version)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(data)
-        with open(self._marker(stage), "w") as f:
-            json.dump({"stage": stage, "committed_at": time.time()}, f)
-        return data
+        writer.parquet(path)
+        self._write_manifest(stage, [*prior_versions, version])
+        return path
+
+    def commit(self, df: DataFrame, stage: str, partition_by: list[str] | None = None) -> str:
+        """Write a stage output as a fresh single-snapshot commit."""
+        return self._append_version(df, stage, [], partition_by)
 
     def load(self, spark: SparkSession, stage: str) -> DataFrame | None:
-        if not self.is_committed(stage):
+        manifest = self._read_manifest(stage)
+        if manifest is None:
             return None
-        path = os.path.join(self._dir(stage), "data")
-        # stage dirs are rewritten by resume merges: drop any cached
-        # file listings / plan caches that still reference this path
-        spark.catalog.refreshByPath(path)
-        return spark.read.parquet(path)
+        paths = [os.path.join(self._dir(stage), v) for v in manifest["versions"]]
+        for p in paths:
+            # resumes add version dirs: drop stale cached file listings
+            spark.catalog.refreshByPath(p)
+        return spark.read.parquet(*paths)
 
     def remaining(self, spark: SparkSession, inputs: DataFrame, stage: str, key: str = "url") -> DataFrame:
         """Input rows not yet present in the committed stage output
@@ -82,27 +121,84 @@ class StageStore:
         partition_by: list[str] | None = None,
     ) -> DataFrame:
         """Resume-aware stage execution: process only missing keys,
-        append to prior committed output, re-commit."""
+        commit the fresh rows as a new snapshot version (O(delta) —
+        the prior snapshot is never rewritten)."""
+        manifest = self._read_manifest(stage)
         todo = self.remaining(spark, inputs, stage, key)
-        prior = self.load(spark, stage)
+        if manifest is not None and todo.isEmpty():
+            return self.load(spark, stage)
         fresh = transform(todo)
-        if prior is not None:
-            # append semantics: union prior output with new results
-            combined_dir = self._dir(stage) + "_next"
-            fresh.write.mode("overwrite").parquet(os.path.join(combined_dir, "fresh"))
-            fresh_re = spark.read.parquet(os.path.join(combined_dir, "fresh"))
-            merged = prior.unionByName(fresh_re)
-            self_dir = self._dir(stage)
-            merged.write.mode("overwrite").parquet(os.path.join(combined_dir, "data"))
-            if os.path.exists(self_dir):
-                shutil.rmtree(self_dir)
-            os.makedirs(self_dir, exist_ok=True)
-            shutil.move(os.path.join(combined_dir, "data"), os.path.join(self_dir, "data"))
-            shutil.rmtree(combined_dir)
-            with open(self._marker(stage), "w") as f:
-                json.dump({"stage": stage, "committed_at": time.time()}, f)
+        self._append_version(fresh, stage, manifest["versions"] if manifest else [], partition_by)
+        return self.load(spark, stage)
+
+
+class IcebergStageStore:
+    """The same snapshot/resume contract on a real Iceberg catalog:
+    version dirs become Iceberg snapshots (`writeTo(...).append()`),
+    the JSON manifest becomes Iceberg's own metadata tree, and commit
+    atomicity comes from the catalog's metadata-pointer swap
+    (SURVEY.md §1.4 / BASELINE.json input_hint name Iceberg tables).
+
+    Requires a session configured with an Iceberg catalog
+    (`spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog`
+    plus the runtime jar) — absent in this sandbox, so callers gate on
+    ``is_available`` and tests skip without it. The dataflow
+    (anti-join resume, append-only commits) is identical to StageStore.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str = "ctinexus"):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+
+    @staticmethod
+    def is_available(spark: SparkSession, catalog: str) -> bool:
+        try:
+            impl = spark.conf.get(f"spark.sql.catalog.{catalog}")
+        except Exception:
+            return False
+        return bool(impl)
+
+    def _table(self, stage: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{stage}"
+
+    def is_committed(self, stage: str) -> bool:
+        return self.spark.catalog.tableExists(self._table(stage))
+
+    def commit(self, df: DataFrame, stage: str, partition_by: list[str] | None = None) -> str:
+        writer = df.writeTo(self._table(stage))
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.createOrReplace()
+        return self._table(stage)
+
+    def load(self, spark: SparkSession, stage: str) -> DataFrame | None:
+        if not self.is_committed(stage):
+            return None
+        return spark.read.table(self._table(stage))
+
+    def remaining(self, spark: SparkSession, inputs: DataFrame, stage: str, key: str = "url") -> DataFrame:
+        done = self.load(spark, stage)
+        if done is None:
+            return inputs
+        return inputs.join(done.select(key).distinct(), key, "left_anti")
+
+    def run_stage(
+        self,
+        spark: SparkSession,
+        stage: str,
+        inputs: DataFrame,
+        transform,
+        key: str = "url",
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        todo = self.remaining(spark, inputs, stage, key)
+        if self.is_committed(stage):
+            if todo.isEmpty():
+                return self.load(spark, stage)
+            transform(todo).writeTo(self._table(stage)).append()
         else:
-            self.commit(fresh, stage, partition_by)
+            self.commit(transform(todo), stage, partition_by)
         return self.load(spark, stage)
 
 

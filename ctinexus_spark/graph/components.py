@@ -33,7 +33,12 @@ def connected_components(
 ) -> DataFrame:
     """edges(src, dst) → (vertex, component) where component is the
     minimum vertex id reachable. Vertex ids must be orderable
-    (numeric or string)."""
+    (numeric or string).
+
+    Raises RuntimeError if the fixpoint is not reached within
+    max_iterations — silently returning unconverged labels would hand
+    large-diameter graphs wrong components with no signal.
+    """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -48,6 +53,7 @@ def connected_components(
     )
     labels.count()
 
+    converged = False
     for it in range(max_iterations):
         # candidate labels: own label ∪ neighbors' labels
         neighbor_labels = (
@@ -74,7 +80,20 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
 
     sym.unpersist()
-    return labels.select("vertex", "component")
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — graph diameter exceeds the round budget; raise "
+            "max_iterations or switch to a doubling variant"
+        )
+    # materialize + localCheckpoint so the persisted iteration state can
+    # be released now (a returned lazy persist would leak in the cache
+    # manager until an unpersist the caller never knows to issue)
+    result = labels.select("vertex", "component").localCheckpoint(eager=True)
+    labels.unpersist()
+    return result

@@ -170,6 +170,12 @@ class StubModel:
             }
         )
 
+    def link_batch(self, items: list[tuple[str, str, str]]) -> list[str]:
+        """One call per Arrow batch of (doc_text, main, topic) pairs —
+        mirrors extract/tag so a real HTTP client can fan the batch out
+        concurrently instead of paying one round-trip per pair."""
+        return [self.link(d, m, t) for d, m, t in items]
+
 
 class SplitChainModel(StubModel):
     """Stub extractor producing TWO chains per document: recognized

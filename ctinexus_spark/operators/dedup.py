@@ -95,9 +95,12 @@ def lsh_bands(
 
 def lsh_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Distinct candidate pairs (a_id < b_id) from shared LSH buckets."""
-    # persist: both sides of the self-join consume the band lineage
-    # (shingle explode + 8 md5 minima) — unpersisted it computes twice
-    bands = lsh_bands(docs, id_col, text_col).persist()
+    # localCheckpoint (not persist): both sides of the self-join consume
+    # the band lineage (shingle explode + 8 md5 minima) — unmaterialized
+    # it computes twice, and an explicit persist would leak in the cache
+    # manager with no safe point to unpersist a lazily-consumed result.
+    # localCheckpointed blocks are GC-reclaimed once unreferenced.
+    bands = lsh_bands(docs, id_col, text_col).localCheckpoint(eager=True)
     a = bands.select(F.col(id_col).alias("a_id"), "band_idx", "band_key")
     b = bands.select(F.col(id_col).alias("b_id"), "band_idx", "band_key")
     return (
@@ -197,9 +200,11 @@ def simhash_candidates(
             for b in range(bands)
         ]
     )
+    # localCheckpoint: see lsh_candidates — barrier for the self-join
+    # without a cache-manager leak
     banded = sh.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
         id_col, "simhash", F.col("c.band_idx").alias("band_idx"), F.col("c.chunk").alias("chunk")
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     a = banded.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sh"), "band_idx", "chunk")
     b = banded.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sh"), "band_idx", "chunk")

@@ -259,20 +259,16 @@ def align_entities(
     cfg = config or PipelineConfig()
     thr, mode = cfg.similarity_threshold, cfg.ea_cluster_mode
 
-    with_vecs = nodes.join(F.broadcast(embeddings) if _small(embeddings) else embeddings,
-                           "mention_text", "left")
+    # no explicit broadcast hint: distinct mention texts are usually a
+    # small fraction of nodes, and AQE promotes the join to broadcast
+    # at runtime when the built side is under the threshold — a static
+    # hint would force a full-table broadcast at corpus scale.
+    with_vecs = nodes.join(embeddings, "mention_text", "left")
 
-    def run(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(_key, pdf):
         return _align_one_doc(pdf, thr, mode)
 
     return with_vecs.groupBy("url").applyInPandas(run, schema=ALIGNED_SCHEMA)
-
-
-def _small(df: DataFrame) -> bool:
-    # distinct mention texts are usually far smaller than nodes; let
-    # Spark broadcast when below the auto-broadcast threshold. We keep
-    # the hint decision cheap: no count() action, rely on AQE otherwise.
-    return False
 
 
 def aligned_triples(aligned_nodes: DataFrame) -> DataFrame:

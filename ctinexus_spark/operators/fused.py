@@ -309,29 +309,79 @@ def align_graph_triples(typed: DataFrame, model, config: PipelineConfig) -> Data
         "o_mention_id", "o_text", "o_class", "o_merged", "o_entity_id", "o_entity_text",
     ]
 
+    def _process(pdf: pd.DataFrame) -> pd.DataFrame:
+        uniq = pd.unique(pd.concat([pdf["subject_text"], pdf["object_text"]], ignore_index=True))
+        uniq = [u for u in uniq.tolist() if u is not None]
+        vecs = model.embed(uniq)
+        emb_of = {txt: np.asarray(vecs[i], dtype=np.float64) for i, txt in enumerate(uniq)}
+        rows: list = []
+        for url, g in pdf.groupby("url", sort=False):
+            _one_doc(url, g, emb_of, rows)
+        return pd.DataFrame(rows, columns=cols)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # one Arrow exchange per batch of MANY documents — a
         # groupBy().applyInPandas() would pay the per-group pandas/
         # Arrow overhead 10^12 times (measured ~2ms/doc: 2000 core-
         # years at target scale); repartition+mapInPandas amortizes it.
+        #
+        # Arrow batches are capped at arrow.maxRecordsPerBatch, so one
+        # url's rows can straddle a batch boundary. Rows arrive sorted
+        # by url (sortWithinPartitions below): hold back each batch's
+        # trailing url and stitch it onto the next batch, so every
+        # document is EA/LP-processed whole regardless of batch size.
+        pending: pd.DataFrame | None = None
         for pdf in batches:
-            uniq = pd.unique(pd.concat([pdf["subject_text"], pdf["object_text"]], ignore_index=True))
-            uniq = [u for u in uniq.tolist() if u is not None]
-            vecs = model.embed(uniq)
-            emb_of = {txt: np.asarray(vecs[i], dtype=np.float64) for i, txt in enumerate(uniq)}
-            rows: list = []
-            for url, g in pdf.groupby("url", sort=False):
-                _one_doc(url, g, emb_of, rows)
-            yield pd.DataFrame(rows, columns=cols)
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            last_url = pdf["url"].iloc[-1]
+            boundary = pdf["url"] == last_url
+            pending = pdf[boundary]
+            work = pdf[~boundary]
+            if len(work):
+                yield _process(work)
+        if pending is not None and len(pending):
+            yield _process(pending)
 
-    return t.repartition("url").mapInPandas(run, schema=FUSED_SCHEMA)
+    return (
+        t.repartition("url")
+        .sortWithinPartitions("url")
+        .mapInPandas(run, schema=FUSED_SCHEMA)
+    )
+
+
+def extracted_triples(fused: DataFrame) -> DataFrame:
+    """fused rows (row_type='triple') → (url, subj, pred, obj, source)."""
+    return fused.filter(F.col("row_type") == "triple").select(
+        "url",
+        F.col("s_entity_text").alias("subj"),
+        F.col("relation").alias("pred"),
+        F.col("o_entity_text").alias("obj"),
+        F.lit("extracted").alias("source"),
+    )
+
+
+def link_main_pairs(fused: DataFrame, docs: DataFrame, model) -> DataFrame:
+    """fused rows (row_type='main_pair') + doc text → LINKS_SCHEMA rows
+    via the shared batched link-inference pass (operators/lp.py)."""
+    from ctinexus_spark.operators.lp import infer_links
+
+    pairs = (
+        fused.filter(F.col("row_type") == "main_pair")
+        .select("url",
+                F.col("s_entity_id").alias("main_id"), F.col("s_entity_text").alias("main_text"),
+                F.col("o_entity_id").alias("topic_id"), F.col("o_entity_text").alias("topic_text"))
+        .join(docs.select("url", "text_norm"), "url", "left")
+    )
+    return infer_links(pairs, model)
 
 
 def fused_kg(docs: DataFrame, model, config: PipelineConfig) -> DataFrame:
     """documents(normalized) → final (url, subj, pred, obj, source)
     through the fused path."""
-    from ctinexus_spark.operators.lp import LINKS_SCHEMA
-
     # Persist + eagerly materialize the one multi-consumer node:
     # fused feeds the triple and main_pair branches. A lazy persist
     # would race inside the single final job and compute it twice —
@@ -341,51 +391,7 @@ def fused_kg(docs: DataFrame, model, config: PipelineConfig) -> DataFrame:
     fused = align_graph_triples(typed, model, config).persist()
     fused.count()
 
-    extracted = fused.filter(F.col("row_type") == "triple").select(
-        "url",
-        F.col("s_entity_text").alias("subj"),
-        F.col("relation").alias("pred"),
-        F.col("o_entity_text").alias("obj"),
-        F.lit("extracted").alias("source"),
-    )
-
-    pairs = (
-        fused.filter(F.col("row_type") == "main_pair")
-        .select("url",
-                F.col("s_entity_id").alias("main_id"), F.col("s_entity_text").alias("main_text"),
-                F.col("o_entity_id").alias("topic_id"), F.col("o_entity_text").alias("topic_text"))
-        .join(docs.select("url", "text_norm"), "url", "left")
-    )
-
-    def run_links(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                resp = model.link(r.text_norm or "", r.main_text, r.topic_text)
-                try:
-                    payload = parse_llm_json(resp)
-                except ValueError:
-                    payload = None
-                ps = pr = po = "unknown"
-                if isinstance(payload, dict):
-                    pt = payload.get("predicted_triple")
-                    if isinstance(pt, dict):
-                        ps, pr, po = pt.get("subject"), pt.get("relation"), pt.get("object")
-                    else:
-                        vals = list(payload.values())
-                        if len(vals) >= 3:
-                            ps, pr, po = vals[0], vals[1], vals[2]
-                if ps == r.main_text and po == r.topic_text:
-                    rows.append((r.url, int(r.main_id), r.main_text, pr, int(r.topic_id), r.topic_text, "ok"))
-                elif ps == r.topic_text and po == r.main_text:
-                    rows.append((r.url, int(r.topic_id), r.topic_text, pr, int(r.main_id), r.main_text, "ok"))
-                else:
-                    rows.append((r.url, None, "hallucination", pr, None, "hallucination", "hallucination"))
-            yield pd.DataFrame(rows, columns=[
-                "url", "subject_entity_id", "subject_text", "relation",
-                "object_entity_id", "object_text", "status"])
-
-    links = pairs.mapInPandas(run_links, schema=LINKS_SCHEMA)
+    links = link_main_pairs(fused, docs, model)
     predicted = links.filter(F.col("status") == "ok").select(
         "url",
         F.col("subject_text").alias("subj"),
@@ -393,4 +399,4 @@ def fused_kg(docs: DataFrame, model, config: PipelineConfig) -> DataFrame:
         F.col("object_text").alias("obj"),
         F.lit("predicted").alias("source"),
     )
-    return extracted.unionByName(predicted)
+    return extracted_triples(fused).unionByName(predicted)

@@ -156,41 +156,66 @@ def predict_links(
         mains.join(topics, "url")
         .join(docs.select("url", "text_norm"), "url", "left")
     )
+    return infer_links(pairs, model)
+
+
+_LINK_COLS = [
+    "url", "subject_entity_id", "subject_text", "relation",
+    "object_entity_id", "object_text", "status",
+]
+
+
+def _link_rows(pdf: pd.DataFrame, model) -> pd.DataFrame:
+    """Batched link inference + hallucination guard over one Arrow
+    batch of (url, main_id, main_text, topic_id, topic_text, text_norm)
+    rows: ONE model.link_batch call per batch (mirrors extract/tag —
+    with an HTTP-backed client this is batched-async vs serial
+    round-trips)."""
+    recs = list(pdf.itertuples(index=False))
+    responses = model.link_batch(
+        [((r.text_norm or ""), r.main_text, r.topic_text) for r in recs]
+    )
+    rows = []
+    for r, resp in zip(recs, responses):
+        try:
+            payload = parse_llm_json(resp)
+        except ValueError:
+            payload = None
+        ps = pr = po = "unknown"
+        if isinstance(payload, dict):
+            pt = payload.get("predicted_triple")
+            if isinstance(pt, dict):
+                # reference KeyError semantics (llm_processor.py:940-965):
+                # a missing/null subject|relation|object key coerces all
+                # three to 'unknown', so the pair lands in the
+                # hallucination branch instead of emitting a null-field
+                # "ok" link.
+                if all(pt.get(k) is not None for k in ("subject", "relation", "object")):
+                    ps, pr, po = pt["subject"], pt["relation"], pt["object"]
+            else:
+                vals = list(payload.values())
+                if len(vals) >= 3:
+                    ps, pr, po = vals[0], vals[1], vals[2]
+        # hallucination guard: exact orientation match required
+        if ps == r.main_text and po == r.topic_text:
+            rows.append((r.url, int(r.main_id), r.main_text, pr,
+                         int(r.topic_id), r.topic_text, "ok"))
+        elif ps == r.topic_text and po == r.main_text:
+            rows.append((r.url, int(r.topic_id), r.topic_text, pr,
+                         int(r.main_id), r.main_text, "ok"))
+        else:
+            rows.append((r.url, None, "hallucination", pr,
+                         None, "hallucination", "hallucination"))
+    return pd.DataFrame(rows, columns=_LINK_COLS)
+
+
+def infer_links(pairs: DataFrame, model) -> DataFrame:
+    """(url, main_id, main_text, topic_id, topic_text, text_norm) →
+    LINKS_SCHEMA rows. Shared by the modular path (predict_links) and
+    the fused path (fused_kg / checkpointed pipeline)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                resp = model.link(r["text_norm"] or "", r["main_text"], r["topic_text"])
-                try:
-                    payload = parse_llm_json(resp)
-                except ValueError:
-                    payload = None
-                ps = pr = po = "unknown"
-                if isinstance(payload, dict):
-                    pt = payload.get("predicted_triple")
-                    if isinstance(pt, dict):
-                        ps, pr, po = pt.get("subject"), pt.get("relation"), pt.get("object")
-                    else:
-                        vals = list(payload.values())
-                        if len(vals) >= 3:
-                            ps, pr, po = vals[0], vals[1], vals[2]
-                # hallucination guard: exact orientation match required
-                if ps == r["main_text"] and po == r["topic_text"]:
-                    rows.append((r["url"], int(r["main_id"]), r["main_text"], pr,
-                                 int(r["topic_id"]), r["topic_text"], "ok"))
-                elif ps == r["topic_text"] and po == r["main_text"]:
-                    rows.append((r["url"], int(r["topic_id"]), r["topic_text"], pr,
-                                 int(r["main_id"]), r["main_text"], "ok"))
-                else:
-                    rows.append((r["url"], None, "hallucination", pr,
-                                 None, "hallucination", "hallucination"))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "url", "subject_entity_id", "subject_text", "relation",
-                    "object_entity_id", "object_text", "status",
-                ],
-            )
+            yield _link_rows(pdf, model)
 
     return pairs.mapInPandas(run, schema=LINKS_SCHEMA)

@@ -167,7 +167,10 @@ def ivf_topk(
     """Approximate top-k: exact cosine re-rank within the query's IVF
     cell (nprobe=1). Same bucket-join scale shape as lsh_topk."""
     cellmap = ivf_assign(embeddings, id_col, vec_col)
-    withc = embeddings.join(cellmap, id_col).persist()  # both join sides
+    # localCheckpoint: both self-join sides consume this; persist would
+    # leak in the cache manager (no safe unpersist point for a lazy
+    # result), checkpoint blocks are GC-reclaimed once unreferenced
+    withc = embeddings.join(cellmap, id_col).localCheckpoint(eager=True)
     qa = withc.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell")
     ca = withc.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell")
     pairs = qa.join(ca, "cell").filter(F.col("query_id") != F.col("neighbor_id"))

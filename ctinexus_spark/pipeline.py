@@ -37,7 +37,14 @@ def run_pipeline_checkpointed(
     Stage boundaries chosen where re-computation is expensive
     (model-call stages): documents_clean → triples_typed → kg.
     """
-    from ctinexus_spark.operators.fused import align_graph_triples, extract_and_tag, fused_kg
+    from pyspark.sql import functions as F
+
+    from ctinexus_spark.operators.fused import (
+        align_graph_triples,
+        extract_and_tag,
+        extracted_triples,
+        link_main_pairs,
+    )
     from ctinexus_spark.operators.normalize import normalize_documents
 
     cfg = config or PipelineConfig()
@@ -50,31 +57,28 @@ def run_pipeline_checkpointed(
         spark, "triples_typed", docs,
         lambda d: extract_and_tag(d, model), key="url",
     )
-
-    def _finish(typed_subset: DataFrame) -> DataFrame:
-        # localCheckpoint, NOT persist: persist() registers the
-        # analyzed plan in the cache manager, and a later resume run
-        # builds a plan-equal DataFrame (same file paths) that would
-        # silently cache-hit the STALE result from the previous run —
-        # duplicating rows into the merged stage output. A local
-        # checkpoint is instance-unique.
-        fused = align_graph_triples(typed_subset, model, cfg).localCheckpoint(eager=True)
-        from pyspark.sql import functions as F
-
-        extracted = fused.filter(F.col("row_type") == "triple").select(
-            "url",
-            F.col("s_entity_text").alias("subj"),
-            F.col("relation").alias("pred"),
-            F.col("o_entity_text").alias("obj"),
-            F.lit("extracted").alias("source"),
-        )
-        return extracted
-
-    # LP link prediction needs doc text; reuse fused_kg for the
-    # non-checkpointed tail when links matter — here the committed KG
-    # carries extracted triples; predicted links append separately.
-    kg = store.run_stage(spark, "kg_extracted", typed, _finish, key="url")
-    return kg
+    fused = store.run_stage(
+        spark, "kg_fused_rows", typed,
+        lambda t: align_graph_triples(t, model, cfg), key="url",
+    )
+    # LP stage over the committed main_pair rows. The work-list is the
+    # urls that HAVE pairs (single-component docs never enter, so they
+    # don't re-run on every resume), and the committed links table
+    # keeps hallucination rows too, so every input url appears in the
+    # output and the resume anti-join terminates.
+    pairs_input = fused.filter(F.col("row_type") == "main_pair")
+    links = store.run_stage(
+        spark, "kg_links", pairs_input,
+        lambda fr: link_main_pairs(fr, docs, model), key="url",
+    )
+    predicted = links.filter(F.col("status") == "ok").select(
+        "url",
+        F.col("subject_text").alias("subj"),
+        F.col("relation").alias("pred"),
+        F.col("object_text").alias("obj"),
+        F.lit("predicted").alias("source"),
+    )
+    return extracted_triples(fused).unionByName(predicted)
 
 
 @dataclass

@@ -32,10 +32,41 @@ def test_uncommitted_returns_none(spark, tmp_path):
 
 def test_torn_write_not_committed(spark, docs, tmp_path):
     store = StageStore(str(tmp_path))
-    # simulate a crash: data dir exists, no marker
-    os.makedirs(tmp_path / "stage1" / "data", exist_ok=True)
+    # simulate a crash: a version dir exists, but no manifest names it
+    os.makedirs(tmp_path / "stage1" / "v_0", exist_ok=True)
     assert not store.is_committed("stage1")
     assert store.remaining(spark, docs, "stage1").count() == 10
+
+
+def test_resume_append_is_crash_safe(spark, docs, tmp_path):
+    """The commit protocol must never have a window where the prior
+    committed snapshot is unreadable: version dirs are immutable and
+    the manifest swap is atomic, so a crash mid-resume (new version
+    written, manifest not yet swapped) leaves the old snapshot live."""
+    import pyspark.sql.functions as SF
+
+    store = StageStore(str(tmp_path))
+    first = docs.filter(SF.col("url").isin(*[f"u{i}" for i in range(5)]))
+    store.commit(first.withColumn("out", SF.upper("text")), "s")
+    manifest_before = open(tmp_path / "s" / "_MANIFEST.json").read()
+
+    # simulate the crash window: a fresh version dir appears (as if
+    # written by a resume that died before the manifest swap)
+    second = docs.filter(SF.col("url") == "u7").withColumn("out", SF.upper("text"))
+    second.write.parquet(str(tmp_path / "s" / "v_1"))
+    assert open(tmp_path / "s" / "_MANIFEST.json").read() == manifest_before
+    assert store.load(spark, "s").count() == 5  # old snapshot intact
+
+    # the next resume garbage-collects the orphan and re-runs u5..u9
+    processed = []
+
+    def transform(df):
+        processed.extend(r.url for r in df.select("url").collect())
+        return df.withColumn("out", SF.upper("text"))
+
+    final = store.run_stage(spark, "s", docs, transform)
+    assert sorted(processed) == [f"u{i}" for i in range(5, 10)]
+    assert final.count() == 10
 
 
 def test_resume_processes_only_missing(spark, docs, tmp_path):

@@ -33,3 +33,24 @@ def test_fused_equals_modular_on_driver_docs(spark):
     docs = normalize_documents(raw, lang_filter=None)
     fused = fused_kg(docs, StubModel(cfg), cfg)
     assert _kg_set(fused) == _kg_set(modular.kg)
+
+
+def test_fused_parity_across_arrow_batch_boundaries(spark):
+    """A document whose typed rows straddle an Arrow batch boundary
+    must still be EA/LP-processed as ONE unit: with maxRecordsPerBatch
+    = 3, every multi-triple doc straddles, so any fragment-processing
+    regression diverges from the modular path immediately."""
+    cfg = eq.CONFIG
+    raw = eq.load_documents(spark, "/root/testdata/sf0.001").filter(F.col("url").cast("int") < 40)
+    modular = run_pipeline(raw, StubModel(cfg), cfg, lang_filter=None)
+    expected = _kg_set(modular.kg)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "3")
+    try:
+        docs = normalize_documents(raw, lang_filter=None)
+        fused = fused_kg(docs, StubModel(cfg), cfg)
+        assert _kg_set(fused) == expected
+    finally:
+        spark.conf.set(key, prev)

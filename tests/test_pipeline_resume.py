@@ -46,9 +46,35 @@ def test_stage_outputs_committed(spark, tmp_path):
     store = StageStore(str(tmp_path / "c"))
     docs = synthesize_documents(spark, n_docs=10)
     run_pipeline_checkpointed(spark, docs, StubModel(cfg), store, cfg)
-    for stage in ("documents_clean", "triples_typed", "kg_extracted"):
+    for stage in ("documents_clean", "triples_typed", "kg_fused_rows", "kg_links"):
         assert store.is_committed(stage)
         assert store.load(spark, stage).count() >= 0
+
+
+def test_checkpointed_includes_predicted_links(spark, tmp_path):
+    """The committed pipeline must match the in-memory paths INCLUDING
+    LP link prediction — multi-component docs (SplitChainModel) emit
+    source='predicted' rows on both."""
+    from ctinexus_spark import entry_queries as eq
+    from ctinexus_spark.model import SplitChainModel
+    from ctinexus_spark.operators.fused import fused_kg
+    from ctinexus_spark.operators.normalize import normalize_documents
+
+    # url slice chosen to include docs whose two split-chains stay
+    # disconnected (first such doc in the corpus is url=122)
+    raw = eq.load_documents(spark, "/root/testdata/sf0.001").filter(
+        F.col("url").cast("int") < 200
+    )
+    model = SplitChainModel(eq.CONFIG)
+
+    store = StageStore(str(tmp_path / "c"))
+    kg_ck = run_pipeline_checkpointed(spark, raw, model, store, eq.CONFIG, lang_filter=None)
+    kg_mem = fused_kg(normalize_documents(raw, lang_filter=None), model, eq.CONFIG)
+
+    a = sorted(map(str, kg_ck.select("url", "subj", "pred", "obj", "source").collect()))
+    b = sorted(map(str, kg_mem.select("url", "subj", "pred", "obj", "source").collect()))
+    assert a == b
+    assert any("predicted" in r for r in a)
 
 
 def test_resume_skips_lang_filtered(spark, tmp_path):
