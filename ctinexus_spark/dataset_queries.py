@@ -365,7 +365,32 @@ FROM shared s
 JOIN cnt ca ON s.a_id = ca.doc_id
 JOIN cnt cb ON s.b_id = cb.doc_id
 """,
-    # simhash: rows-only (bit-packing loop is not SQL-expressible) — omitted
+    # simhash: 48-bit sign-sum in SQL — parse the first 12 md5 hex
+    # chars per token as a BIGINT, sum ±1 per bit position weighted by
+    # token multiplicity, OR-fold the positive bits back into a bigint.
+    "simhash": """
+WITH tok AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+hv AS (
+  SELECT doc_id, cnt,
+         CAST(list_sum(list_transform(range(1, 13),
+           i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)
+                * (CAST(1 AS BIGINT) << ((12 - i) * 4)))) AS BIGINT) AS h
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN cnt ELSE -cnt END) AS acc
+  FROM hv, range(0, 48) r(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
     "emb_cosine_pairs": """
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
@@ -531,7 +556,7 @@ QUERIES = {
     "lsh_bands": q_lsh_bands,
     "lsh_candidates": q_lsh_candidates,
     "shingle_overlap": q_shingle_overlap,
-    "simhash": q_simhash,  # rows-only oracle
+    "simhash": q_simhash,
     "emb_cosine_pairs": q_emb_cosine_pairs,
     "ann_topk": q_ann_topk,
     "lsh_buckets": q_lsh_buckets,

@@ -164,22 +164,29 @@ def q_kg_fused(spark, sf_dir):
 _TERMS_SQL = ", ".join(f"'{t}'" for t in LEXICON)
 
 
-def _class_case(col: str) -> str:
+def _class_case(col: str, lexicon: dict[str, str] | None = None) -> str:
     return (
         f"CASE {col} "
-        + " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in LEXICON.items())
+        + " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in (lexicon or LEXICON).items())
         + " ELSE 'default' END"
     )
 
 
 _CLASS_CASE = _class_case("term")
 
-# shared CTE prefix: recognized tokens with positions, then triples
-_BASE = f"""
+
+def _base_sql(lexicon: dict[str, str] | None = None, text_expr: str = "text") -> str:
+    """Shared CTE prefix (recognized tokens with positions → triples →
+    mentions → entities → degrees), parameterized so variants can
+    extend the lexicon or derive tokens from a modified text column."""
+    lex = lexicon or LEXICON
+    terms_sql = ", ".join(f"'{t}'" for t in lex)
+    class_case = _class_case("term", lex)
+    return f"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_filter(str_split(text, ' '), w -> w IN ({_TERMS_SQL}))) AS term,
-         generate_subscripts(list_filter(str_split(text, ' '), w -> w IN ({_TERMS_SQL})), 1) AS pos
+         unnest(list_filter(str_split({text_expr}, ' '), w -> w IN ({terms_sql}))) AS term,
+         generate_subscripts(list_filter(str_split({text_expr}, ' '), w -> w IN ({terms_sql})), 1) AS pos
   FROM documents
 ),
 trip AS (
@@ -196,7 +203,7 @@ eligible AS (
 ment2 AS (
   SELECT m.doc_id, m.term, m.fp,
          CAST(row_number() OVER (PARTITION BY m.doc_id ORDER BY m.fp) - 1 AS INT) AS mention_id,
-         {_CLASS_CASE} AS cls
+         {class_case} AS cls
   FROM ment m JOIN eligible e ON m.doc_id = e.doc_id
 ),
 clsfp AS (
@@ -213,6 +220,10 @@ deg AS (
   GROUP BY doc_id, term
 )
 """
+
+
+# shared CTE prefix: recognized tokens with positions, then triples
+_BASE = _base_sql()
 
 ORACLES = {
     "ie_triples": _BASE + """
@@ -306,7 +317,9 @@ ORACLES["kg_fused"] = ORACLES["kg_triples"]
 # the two chains share a component iff some term participates in both
 # halves. Derivation mirrors analyze_graph's pinned orders: node
 # stream key skey = t_idx*2 + side, discovery order = min skey.
-ORACLES["lp_split_graph"] = f"""
+# The CTE prefix (through topcomp) is shared with the lp_links_flaky
+# oracle below.
+_LP_SPLIT_PREFIX = f"""
 WITH toks AS (
   SELECT doc_id,
          unnest(list_filter(str_split(text, ' '), w -> w IN ({_TERMS_SQL}))) AS term,
@@ -372,6 +385,8 @@ topcomp AS (
     FROM (SELECT DISTINCT doc_id, component_id, component_size FROM sized)
   ) WHERE rc = 1
 )
+"""
+ORACLES["lp_split_graph"] = _LP_SPLIT_PREFIX + """
 SELECT f.doc_id, f.entity_id, f.term AS entity_text, f.component_id, f.component_size,
        CAST(f.degree AS INT) AS degree, f.is_main,
        (f.is_main AND t.component_id = f.component_id) AS is_topic
@@ -389,7 +404,171 @@ SELECT doc_id, lang, n_chars FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
 """
 
+
+# --- EA cosine-merge under a real alias pair ---------------------------
+# StubModel's alias_map drives cosine('join','merge') ≈ 0.96 > the 0.6
+# threshold (model.py:93-103), so wherever a document mentions both
+# Operator-class terms they merge into one entity — exercising the
+# reference's type-blocked pairwise-cosine + star-set clustering +
+# frequency-argmax canonical naming (graph_constructor.py:246-441)
+# under a value-hashed DuckDB oracle (VERDICT round-1 blind spot #1).
+
+EA_ALIAS_MAP = {"join": "merge"}
+
+
+def q_ea_entities_merged(spark, sf_dir):
+    docs = _docs_norm(spark, sf_dir).persist()
+    model = StubModel(CONFIG, alias_map=EA_ALIAS_MAP)
+    ie = extract_triples(docs, model).filter("valid")
+    typed = tag_triples(ie, docs, model)
+    nodes = mint_mentions(typed)
+    emb = embed_mentions(nodes, model)
+    aligned = align_entities(nodes, emb, CONFIG)
+    return aligned.select(_doc_id(), "entity_id", "entity_text").distinct()
+
+
+# Oracle: the only ≥threshold pair is {join, merge}; clusters are that
+# pair (where both terms appear) plus singletons. Entity numbering =
+# row_number over (class first-appearance, min member mention_id);
+# canonical text = argmax(occurrence count, ties → lower mention_id).
+ORACLES["ea_entities_merged"] = _BASE + """
+, pairjm AS (
+  SELECT j.doc_id, least(j.mention_id, m.mention_id) AS ckey
+  FROM ment2 j JOIN ment2 m ON j.doc_id = m.doc_id
+  WHERE j.term = 'join' AND m.term = 'merge'
+),
+clus AS (
+  SELECT m2.doc_id, m2.term, m2.cls, m2.mention_id,
+         COALESCE(CASE WHEN m2.term IN ('join', 'merge') THEN p.ckey END,
+                  m2.mention_id) AS ckey
+  FROM ment2 m2 LEFT JOIN pairjm p ON m2.doc_id = p.doc_id
+),
+canon AS (
+  SELECT doc_id, ckey, term AS canon_term FROM (
+    SELECT c.doc_id, c.ckey, c.term,
+           row_number() OVER (PARTITION BY c.doc_id, c.ckey
+                              ORDER BY d.degree DESC, c.mention_id) AS rn
+    FROM clus c JOIN deg d ON c.doc_id = d.doc_id AND c.term = d.term
+  ) WHERE rn = 1
+),
+clusters AS (
+  SELECT DISTINCT doc_id, cls, ckey FROM clus
+),
+eid AS (
+  SELECT cl.doc_id, cl.ckey,
+         CAST(row_number() OVER (PARTITION BY cl.doc_id ORDER BY f.cfp, cl.ckey) - 1 AS INT) AS entity_id
+  FROM clusters cl JOIN clsfp f ON cl.doc_id = f.doc_id AND cl.cls = f.cls
+)
+SELECT e.doc_id, e.entity_id, c.canon_term AS entity_text
+FROM eid e JOIN canon c ON e.doc_id = c.doc_id AND e.ckey = c.ckey
+"""
+
+
+# --- IOC unmerge (A8-A10) under a DuckDB oracle -------------------------
+# Every document gets two IP literals appended post-normalization; they
+# share the class 'Indicator: IP' and an alias-map cosine ≈ 0.96, so EA
+# merges them — then the PostProcessor unmerge (cti_processor.py:53-115)
+# splits the all-IOC cluster back apart: the canonical member keeps the
+# cluster's entity_id, the other gets a fresh id AFTER all clusters.
+
+IOC_A, IOC_B = "10.9.9.1", "10.9.9.2"
+LEXICON_IOC = {**LEXICON, IOC_A: "Indicator: IP", IOC_B: "Indicator: IP"}
+CONFIG_IOC = PipelineConfig(lexicon=LEXICON_IOC)
+IOC_ALIAS_MAP = {IOC_B: IOC_A}
+
+
+def q_ea_ioc_unmerge(spark, sf_dir):
+    docs = _docs_norm(spark, sf_dir).withColumn(
+        "text_norm", F.concat(F.col("text_norm"), F.lit(f" {IOC_A} {IOC_B}"))
+    ).persist()
+    model = StubModel(CONFIG_IOC, alias_map=IOC_ALIAS_MAP)
+    ie = extract_triples(docs, model).filter("valid")
+    typed = tag_triples(ie, docs, model)
+    nodes = mint_mentions(typed)
+    emb = embed_mentions(nodes, model)
+    aligned = align_entities(nodes, emb, CONFIG_IOC)
+    return aligned.select(_doc_id(), "entity_id", "entity_text").distinct()
+
+
+# Oracle: IOC_A appears before IOC_B, occurs ≥ as often, and has the
+# lower mention_id, so it is canonical: the merged cluster is numbered
+# at IOC_A's slot (equivalently: number all terms except IOC_B), and
+# the unmerged IOC_B entity gets id = cluster count.
+ORACLES["ea_ioc_unmerge"] = _base_sql(
+    LEXICON_IOC, f"text || ' {IOC_A} {IOC_B}'"
+) + f"""
+, ent_main AS (
+  SELECT m.doc_id, m.term, m.mention_id,
+         CAST(row_number() OVER (PARTITION BY m.doc_id ORDER BY c.cfp, m.mention_id) - 1 AS INT) AS entity_id
+  FROM ment2 m JOIN clsfp c ON m.doc_id = c.doc_id AND m.cls = c.cls
+  WHERE m.term != '{IOC_B}'
+),
+ncl AS (SELECT doc_id, count(*) AS n FROM ent_main GROUP BY doc_id)
+SELECT doc_id, entity_id, term AS entity_text FROM ent_main
+UNION ALL
+SELECT doc_id, CAST(n AS INT) AS entity_id, '{IOC_B}' AS entity_text FROM ncl
+"""
+
+
+# --- LP hallucination guard + orientation swap (L7-L8) ------------------
+
+
+def q_lp_links_flaky(spark, sf_dir):
+    """Link-prediction output table under FlakyLinkModel: a
+    deterministic md5 slice of main→topic pairs gets a malformed
+    answer (missing relation key → hallucination sentinel) and another
+    slice a swapped orientation (guard re-orients). Exercises the
+    reference's lp_verification path (llm_processor.py:940-965)."""
+    from ctinexus_spark.model import FlakyLinkModel
+
+    docs = _docs_norm(spark, sf_dir).persist()
+    model = FlakyLinkModel(CONFIG)
+    ie = extract_triples(docs, model).filter("valid")
+    typed = tag_triples(ie, docs, model).persist()
+    nodes = mint_mentions(typed)
+    emb = embed_mentions(nodes, model)
+    aligned = align_entities(nodes, emb, CONFIG)
+    graph = analyze_graph(aligned)
+    links = predict_links(graph, docs, model, CONFIG)
+    return links.select(
+        _doc_id(), "subject_entity_id", "subject_text", "relation",
+        "object_entity_id", "object_text", "status",
+    )
+
+
+# Oracle: reuse the split-chain component derivation, pair each
+# non-topic main with the doc's topic, then branch on the same md5 hex
+# FlakyLinkModel keys its defects on.
+ORACLES["lp_links_flaky"] = _LP_SPLIT_PREFIX + """
+, topicrow AS (
+  SELECT f.doc_id, f.entity_id AS topic_id, f.term AS topic_text
+  FROM flags f JOIN topcomp t ON f.doc_id = t.doc_id AND f.component_id = t.component_id
+  WHERE f.is_main
+),
+mainrow AS (
+  SELECT f.doc_id, f.entity_id AS main_id, f.term AS main_text
+  FROM flags f JOIN topcomp t ON f.doc_id = t.doc_id
+  WHERE f.is_main AND f.component_id != t.component_id
+),
+linkpairs AS (
+  SELECT m.doc_id, m.main_id, m.main_text, t.topic_id, t.topic_text,
+         substr(md5(m.main_text || '|' || t.topic_text), 1, 1) AS h
+  FROM mainrow m JOIN topicrow t ON m.doc_id = t.doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN h < '6' THEN NULL WHEN h < 'a' THEN topic_id ELSE main_id END AS INT) AS subject_entity_id,
+       CASE WHEN h < '6' THEN 'hallucination' WHEN h < 'a' THEN topic_text ELSE main_text END AS subject_text,
+       CASE WHEN h < '6' THEN 'unknown' ELSE 'related-to' END AS relation,
+       CAST(CASE WHEN h < '6' THEN NULL WHEN h < 'a' THEN main_id ELSE topic_id END AS INT) AS object_entity_id,
+       CASE WHEN h < '6' THEN 'hallucination' WHEN h < 'a' THEN main_text ELSE topic_text END AS object_text,
+       CASE WHEN h < '6' THEN 'hallucination' ELSE 'ok' END AS status
+FROM linkpairs
+"""
+
 QUERIES = {
+    "ea_entities_merged": q_ea_entities_merged,
+    "ea_ioc_unmerge": q_ea_ioc_unmerge,
+    "lp_links_flaky": q_lp_links_flaky,
     "kg_fused": q_kg_fused,
     "kg_entity_degree": q_kg_entity_degree,
     "lp_split_graph": q_lp_split_graph,

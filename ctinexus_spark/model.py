@@ -198,6 +198,38 @@ class SplitChainModel(StubModel):
         return out
 
 
+class FlakyLinkModel(SplitChainModel):
+    """Split-chain extractor whose LINK answers carry deterministic
+    defects keyed on md5(main|topic) — exercising the reference's
+    KeyError→'unknown'→hallucination path (llm_processor.py:940-965)
+    and the orientation-normalization branch under a SQL oracle:
+
+    - first md5 hex < '6'  : predicted_triple missing the relation key
+      → all fields coerce to 'unknown' → status='hallucination'
+    - '6' <= hex < 'a'     : swapped orientation (subject=topic) →
+      guard re-orients, status='ok'
+    - otherwise            : well-formed main→topic answer
+    """
+
+    def link(self, doc_text: str, main_text: str, topic_text: str) -> str:
+        h = hashlib.md5(f"{main_text}|{topic_text}".encode("utf-8")).hexdigest()[0]
+        if h < "6":
+            return json.dumps(
+                {"predicted_triple": {"subject": main_text, "object": topic_text}}
+            )
+        if h < "a":
+            return json.dumps(
+                {
+                    "predicted_triple": {
+                        "subject": topic_text,
+                        "relation": self.config.lp_relation,
+                        "object": main_text,
+                    }
+                }
+            )
+        return super().link(doc_text, main_text, topic_text)
+
+
 class ReplayModel(StubModel):
     """Replays fixed answers keyed by document text — used to measure
     parity against the reference's annotated eval corpus without any
