@@ -38,6 +38,21 @@ class PipelineConfig:
     # means "CTI mode": IOC regex extraction drives the stub.
     lexicon: dict[str, str] = field(default_factory=dict)
     random_seed: int = 42
+    # --- LSH geometry (dedup/similarity scale paths) ---
+    # Sign-LSH planes for single-band vector buckets: 2^planes buckets,
+    # in-bucket pair count ~ n²/2^planes at uniform spread. 8 fits
+    # ~10⁶ vectors; raise toward 20+ at 10⁹-10¹².
+    lsh_planes: int = 8
+    # Banded (OR-amplified) vector LSH for near-dup candidate recall:
+    # collide w.p. 1-(1-p^band_planes)^bands, p = 1-θ/π.
+    vector_lsh_bands: int = 4
+    vector_lsh_band_planes: int = 4
+    # MinHash signature size and rows-per-band for text LSH.
+    minhash_seeds: int = 8
+    minhash_band_size: int = 2
+    # Degenerate-bucket guard: buckets above this size are dropped from
+    # candidate generation (they contribute n²/2 pairs and no signal).
+    lsh_max_bucket: int = 1000
 
 
 DEFAULT_CONFIG = PipelineConfig()

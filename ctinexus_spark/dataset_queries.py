@@ -77,16 +77,35 @@ def q_lsh_candidates(spark, sf_dir):
 
 
 def q_shingle_overlap(spark, sf_dir):
-    return D.shingle_overlap(_docs(spark, sf_dir))
+    # Jaccard verify restricted to LSH candidate pairs — the MinHash→
+    # LSH→verify funnel a web-scale dedup actually runs (the corpus-
+    # wide shingle self-join variant is test-only)
+    docs = _docs(spark, sf_dir)
+    return D.shingle_overlap(docs, candidates=D.lsh_candidates(docs))
 
 
 def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
 
+def q_simhash_candidates(spark, sf_dir):
+    return D.simhash_candidates(_docs(spark, sf_dir))
+
+
+def q_dedup_clusters_cc(spark, sf_dir):
+    """Corpus-wide duplicate clusters: distributed min-label connected
+    components over the LSH candidate-pair graph (the cross-document
+    graph case GraphFrames would serve; graph/components.py)."""
+    from ctinexus_spark.graph.components import connected_components
+
+    edges = D.lsh_candidates(_docs(spark, sf_dir))
+    return connected_components(edges, "a_id", "b_id")
+
+
 def q_emb_cosine_pairs(spark, sf_dir):
-    # low threshold so the check is value-rich on random vectors
-    return D.embedding_near_dups(_emb(spark, sf_dir), threshold=0.3)
+    # low threshold so the check is value-rich on random vectors;
+    # LSH-gated scale path (the brute all-pairs variant is test-only)
+    return D.embedding_near_dups_lsh(_emb(spark, sf_dir), threshold=0.3)
 
 
 # --- similarity ---------------------------------------------------------
@@ -107,6 +126,7 @@ def q_lsh_topk(spark, sf_dir):
 
 
 def q_knn_vote(spark, sf_dir):
+    # neighbors from the LSH-bucketed top-k (default) — no all-pairs
     return S.knn_label_vote(_emb(spark, sf_dir))
 
 
@@ -273,6 +293,47 @@ _BAND_ROWS = " UNION ALL ".join(
 
 _HYPERPLANES = S.hyperplane_signs()
 
+# LSH candidate pairs with the degenerate-bucket cap — shared by the
+# lsh_candidates and shingle_overlap oracles (must match
+# D.lsh_candidates bit for bit).
+_CAND_CTES = f"""{_SIG}, bands AS ({_BAND_ROWS}),
+okbuckets AS (
+  SELECT band_idx, band_key FROM bands GROUP BY band_idx, band_key HAVING count(*) <= {D.MAX_BUCKET}
+),
+bandsf AS (
+  SELECT b.doc_id, b.band_idx, b.band_key FROM bands b JOIN okbuckets USING (band_idx, band_key)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bandsf a JOIN bandsf b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+# banded vector-LSH buckets (4 bands × 4 planes, global plane index
+# b*4+p) — shared hyperplanes with S.lsh_band_buckets
+_HP16 = S.hyperplane_signs(planes=16)
+
+
+def _plane_sql_from(signs: list[list[int]], p: int) -> str:
+    lits = ", ".join(f"{float(s)}" for s in signs[p])
+    return (
+        f"(list_sum(list_transform(range(1, 65), "
+        f"i -> embedding[i]::DOUBLE * ([{lits}])[i])) >= 0)"
+    )
+
+
+def _vband_bucket_sql(b: int, band_planes: int = 4) -> str:
+    return "concat(" + ", ".join(
+        f"CASE WHEN {_plane_sql_from(_HP16, b * band_planes + p)} THEN '1' ELSE '0' END"
+        for p in range(band_planes)
+    ) + ")"
+
+
+_VBANDS_ROWS = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band_idx, {_vband_bucket_sql(b)} AS bucket FROM embeddings"
+    for b in range(4)
+)
+
 _CENTROIDS = S.ivf_centroids()
 _CENTROID_VALUES = ", ".join(
     f"({i}, [{', '.join(f'{x!r}' for x in c)}]::DOUBLE[])" for i, c in enumerate(_CENTROIDS)
@@ -346,18 +407,19 @@ FROM documents GROUP BY md5(text)
     "minhash": f"WITH {_SIG} SELECT * FROM sig",
     "lsh_bands": f"WITH {_SIG}, bands AS ({_BAND_ROWS}) SELECT doc_id, CAST(band_idx AS INT) AS band_idx, band_key FROM bands",
     "lsh_candidates": f"""
-WITH {_SIG}, bands AS ({_BAND_ROWS})
-SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-FROM bands a JOIN bands b
-  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+WITH {_CAND_CTES}
+SELECT a_id, b_id FROM cand
 """,
     "shingle_overlap": f"""
-WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+WITH {_CAND_CTES},
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
 cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
 shared AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+  SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.a_id
+  JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+  GROUP BY c.a_id, c.b_id HAVING count(*) >= 2
 )
 SELECT s.a_id, s.b_id, s.n_shared,
        CAST(s.n_shared AS DOUBLE) / CAST(ca.n + cb.n - s.n_shared AS DOUBLE) AS jaccard
@@ -391,11 +453,79 @@ SELECT doc_id,
        CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """,
-    "emb_cosine_pairs": """
-SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+    # simhash_candidates: sketch from the simhash oracle logic, then
+    # pigeonhole 12-bit chunks → bucket join → exact hamming filter.
+    "simhash_candidates": """
+WITH tok AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+hv AS (
+  SELECT doc_id, cnt,
+         CAST(list_sum(list_transform(range(1, 13),
+           i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)
+                * (CAST(1 AS BIGINT) << ((12 - i) * 4)))) AS BIGINT) AS h
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN cnt ELSE -cnt END) AS acc
+  FROM hv, range(0, 48) r(j)
+  GROUP BY doc_id, j
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, simhash, CAST(b AS INT) AS band_idx,
+         (simhash >> CAST(b * 12 AS INT)) & 4095 AS chunk
+  FROM sh, range(0, 4) r(b)
+)
+SELECT a_id, b_id, hamming FROM (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.band_idx = b.band_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+) WHERE hamming <= 3
+""",
+    # dedup_clusters_cc: min-reachable-label components via recursive
+    # transitive closure over the (capped) LSH candidate-pair graph —
+    # the SQL twin of graph/components.py's label propagation.
+    "dedup_clusters_cc": f"""
+WITH RECURSIVE {_CAND_CTES},
+sym AS (
+  SELECT a_id AS a, b_id AS b FROM cand
+  UNION
+  SELECT b_id AS a, a_id AS b FROM cand
+),
+verts AS (SELECT DISTINCT a AS v FROM sym),
+reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT reach.v, s.b FROM reach JOIN sym s ON reach.r = s.a
+)
+SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
+""",
+    "emb_cosine_pairs": f"""
+WITH vb AS ({_VBANDS_ROWS}),
+okb AS (
+  SELECT band_idx, bucket FROM vb GROUP BY band_idx, bucket HAVING count(*) <= {D.MAX_BUCKET}
+),
+vbf AS (SELECT vb.vec_id, vb.band_idx, vb.bucket FROM vb JOIN okb USING (band_idx, bucket)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM vbf a JOIN vbf b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.a_id, c.b_id,
+       list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cosine
+FROM cand c
+JOIN embeddings ea ON c.a_id = ea.vec_id
+JOIN embeddings eb ON c.b_id = eb.vec_id
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.3
 """,
     "ann_topk": """
 WITH scored AS (
@@ -447,11 +577,13 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
   FROM scored
 ) WHERE rank <= 5
 """,
-    "knn_vote": """
-WITH scored AS (
+    "knn_vote": f"""
+WITH b AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings),
+withb AS (SELECT e.vec_id, e.embedding, e.label, b.bucket FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS n_label,
          list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
-  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  FROM withb q JOIN withb c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
 ),
 topk AS (
   SELECT query_id, n_label FROM (
@@ -557,6 +689,8 @@ QUERIES = {
     "lsh_candidates": q_lsh_candidates,
     "shingle_overlap": q_shingle_overlap,
     "simhash": q_simhash,
+    "simhash_candidates": q_simhash_candidates,
+    "dedup_clusters_cc": q_dedup_clusters_cc,
     "emb_cosine_pairs": q_emb_cosine_pairs,
     "ann_topk": q_ann_topk,
     "lsh_buckets": q_lsh_buckets,
@@ -577,6 +711,10 @@ QUERIES = {
 # headline bench additions (scale-path variants only)
 BENCH_QUERIES = {
     "dedup_minhash_lsh": q_lsh_candidates,
+    "dedup_simhash_cand": q_simhash_candidates,
+    "dedup_clusters_cc": q_dedup_clusters_cc,
+    "dedup_shingle_verify": q_shingle_overlap,
+    "emb_neardup_lsh": q_emb_cosine_pairs,
     "ann_lsh_topk": q_lsh_topk,
     "text_quality": q_quality,
     "tpch_q1": q_tpch_q1,

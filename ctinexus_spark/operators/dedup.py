@@ -93,14 +93,31 @@ def lsh_bands(
     ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
 
 
-def lsh_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct candidate pairs (a_id < b_id) from shared LSH buckets."""
+MAX_BUCKET = 1000
+
+
+def lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Distinct candidate pairs (a_id < b_id) from shared LSH buckets.
+
+    Buckets larger than max_bucket are dropped before the self-join —
+    the standard Common-Crawl-dedup guard: a degenerate band key (e.g.
+    empty-ish docs sharing minima) would contribute n²/2 pairs from one
+    bucket, and membership in a bucket that common carries no near-dup
+    signal."""
+    from ctinexus_spark.operators.similarity import cap_buckets
+
     # localCheckpoint (not persist): both sides of the self-join consume
     # the band lineage (shingle explode + 8 md5 minima) — unmaterialized
     # it computes twice, and an explicit persist would leak in the cache
     # manager with no safe point to unpersist a lazily-consumed result.
     # localCheckpointed blocks are GC-reclaimed once unreferenced.
     bands = lsh_bands(docs, id_col, text_col).localCheckpoint(eager=True)
+    bands = cap_buckets(bands, ["band_idx", "band_key"], max_bucket)
     a = bands.select(F.col(id_col).alias("a_id"), "band_idx", "band_key")
     b = bands.select(F.col(id_col).alias("b_id"), "band_idx", "band_key")
     return (
@@ -116,25 +133,42 @@ def shingle_overlap(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_shared: int = 2,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing ≥ min_shared shingles.
 
-    Shuffle shape: explode distinct shingles → self-join on shingle
-    (co-occurrence join, skew-prone on hot shingles → AQE skew-join
-    handles) → count per pair → join per-doc shingle counts.
+    `candidates` (a_id, b_id — e.g. lsh_candidates output) is the
+    scale path: shared-shingle counts are computed ONLY for candidate
+    pairs via two equi-joins (cand⨝a on a_id, then ⨝b on (b_id,
+    shingle)), so cost is |candidates|·|doc| instead of the corpus-wide
+    shingle self-join, which is quadratic on hot shingles.
+
+    candidates=None keeps the exact corpus-wide variant — the
+    TEST-ONLY baseline (round-1 anti-pattern #3); never run it at
+    scale.
     """
     sh = docs.select(F.col(id_col), F.explode(shingle_col(text_col)).alias("shingle"))
     counts = sh.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_shingles"))
 
     a = sh.select(F.col(id_col).alias("a_id"), "shingle")
     b = sh.select(F.col(id_col).alias("b_id"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").cast("bigint").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-    )
+    if candidates is not None:
+        shared = (
+            candidates.select("a_id", "b_id")
+            .join(a, "a_id")
+            .join(b, ["b_id", "shingle"])
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").cast("bigint").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
+    else:
+        shared = (
+            a.join(b, "shingle")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").cast("bigint").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
     return (
         shared.join(counts.select(F.col(id_col).alias("a_id"), F.col("n_shingles").alias("a_n")), "a_id")
         .join(counts.select(F.col(id_col).alias("b_id"), F.col("n_shingles").alias("b_n")), "b_id")
@@ -224,8 +258,9 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute-force; the LSH-bucketed
-    scale path lives in operators/similarity.py)."""
+    """Embedding-cosine near-dup pairs — exact all-pairs TEST-ONLY
+    baseline (nested-loop join, O(n²)). The production path is
+    embedding_near_dups_lsh below (round-1 anti-pattern #1)."""
     from ctinexus_spark.operators.similarity import cosine_expr
 
     a = embeddings.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
@@ -233,5 +268,41 @@ def embedding_near_dups(
     pairs = a.join(b, F.col("a_id") < F.col("b_id"))
     return (
         pairs.select("a_id", "b_id", cosine_expr("a_vec", "b_vec").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dups_lsh(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bands: int = 4,
+    band_planes: int = 4,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-gated — the scale path:
+    banded sign-LSH buckets (OR-amplified for recall) produce candidate
+    pairs via an equi bucket join, then the exact cosine threshold
+    re-ranks. No nested-loop join, no full-table broadcast; cost is
+    Σ bucket²/2 per band, bounded by the max_bucket cap."""
+    from ctinexus_spark.operators.similarity import cap_buckets, cosine_expr, lsh_band_buckets
+
+    bands = lsh_band_buckets(embeddings, id_col, vec_col, n_bands=n_bands, band_planes=band_planes)
+    bands = cap_buckets(bands, ["band_idx", "bucket"], max_bucket).localCheckpoint(eager=True)
+    a = bands.select(F.col(id_col).alias("a_id"), "band_idx", "bucket")
+    b = bands.select(F.col(id_col).alias("b_id"), "band_idx", "bucket")
+    cand = (
+        a.join(b, ["band_idx", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ea = embeddings.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    eb = embeddings.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    return (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select("a_id", "b_id", cosine_expr("a_vec", "b_vec").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

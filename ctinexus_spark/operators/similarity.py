@@ -56,15 +56,23 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
-    queries defaults to the full table (all-pairs kNN). Broadcast the
-    query side when it is small — at scale the query set is the small
-    dim table of the join.
+    The broadcast hint is applied ONLY to an explicitly-passed query
+    set — the intended scale shape: a small query table broadcast
+    against the full corpus scan is O(|q|·n) with no shuffle.
+
+    queries=None (all-pairs kNN) is the exact TEST-ONLY baseline: it
+    is inherently O(n²) and must never broadcast the full table (that
+    was round-1 anti-pattern #2). Production all-pairs goes through
+    lsh_topk / ivf_topk, whose bucket joins survive the 100 TB
+    scale-up.
     """
-    q = (queries or embeddings).select(
+    q = (queries if queries is not None else embeddings).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
+    if queries is not None:
+        q = F.broadcast(q)
     c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+    pairs = q.join(c, F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id", "neighbor_id", cosine_expr("q_vec", "c_vec").alias("cosine")
     )
@@ -95,16 +103,70 @@ def lsh_buckets(
     return embeddings.select(F.col(id_col), F.concat(*bits).alias("bucket"))
 
 
+def lsh_band_buckets(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+    n_bands: int = 4,
+    band_planes: int = 4,
+) -> DataFrame:
+    """(id, band_idx, bucket) — OR-amplified sign-LSH: n_bands bands of
+    band_planes hyperplane bits each (plane p of band b is global plane
+    b*band_planes+p, so hyperplanes are shared with the SQL oracle).
+
+    Two vectors at angle θ collide in ≥1 band with probability
+    1-(1-(1-θ/π)^band_planes)^n_bands — e.g. cosine 0.9 (θ≈26°) with
+    4×4 planes collides w.p. ≈0.93 while random vectors (θ≈90°)
+    collide w.p. ≈0.23, cutting candidate pairs ~n²/16 per band at
+    uniform spread. More bands raise recall, more planes per band cut
+    bucket sizes; both are knobs (PipelineConfig.vector_lsh_*)."""
+    signs = hyperplane_signs(dim, n_bands * band_planes)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    rows = []
+    for b in range(n_bands):
+        bits = []
+        for p in range(band_planes):
+            plane = F.array(*[F.lit(float(s)) for s in signs[b * band_planes + p]])
+            dot = F.aggregate(F.zip_with(vec, plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        rows.append(F.struct(F.lit(b).alias("band_idx"), F.concat(*bits).alias("bucket")))
+    return embeddings.select(F.col(id_col), F.explode(F.array(*rows)).alias("bb")).select(
+        id_col, F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def cap_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Drop bucket groups with more than max_bucket members — the
+    standard web-dedup guard against degenerate hot buckets (an
+    n-member bucket contributes n²/2 candidate pairs; a cap bounds the
+    worst bucket's cost and 'too common to be a near-dup signal'
+    buckets carry no information anyway)."""
+    sizes = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("_bucket_n"))
+        .filter(F.col("_bucket_n") <= max_bucket)
+        .drop("_bucket_n")
+    )
+    return df.join(sizes, keys)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    planes: int = N_PLANES,
 ) -> DataFrame:
     """Approximate top-k: exact cosine re-rank *within* LSH buckets.
     The bucket join is the O(n²) → O(n·bucket) reduction that survives
-    the 100 TB scale-up."""
-    b = lsh_buckets(embeddings, id_col, vec_col)
+    the 100 TB scale-up.
+
+    Bucket-size math: `planes` sign bits give 2^planes buckets, so at
+    uniform spread in-bucket pair count is ~n²/2^planes — 8 planes is
+    right for ~10⁶ rows; at 10⁹+ rows raise `planes` (e.g. 20 → ~10⁶
+    buckets) and/or multi-probe via lsh_band_buckets so recall holds."""
+    b = lsh_buckets(embeddings, id_col, vec_col, planes=planes)
     withb = embeddings.join(b, id_col)
     qa = withb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket")
     ca = withb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket")
@@ -189,9 +251,16 @@ def knn_label_vote(
     vec_col: str = "embedding",
     label_col: str = "label",
     k: int = 5,
+    topk: DataFrame | None = None,
 ) -> DataFrame:
-    """k-NN majority-label classification (exact neighbors)."""
-    topk = brute_force_topk(embeddings, None, id_col, vec_col, k)
+    """k-NN majority-label classification.
+
+    Neighbors default to the LSH-bucketed approximate top-k (the scale
+    path — an all-pairs exact kNN is O(n²)); pass a precomputed
+    (query_id, neighbor_id, rank) DataFrame (e.g. brute_force_topk on a
+    small table, or ivf_topk) to swap the neighbor source."""
+    if topk is None:
+        topk = lsh_topk(embeddings, id_col, vec_col, k)
     labeled = topk.join(
         embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")),
         "neighbor_id",

@@ -45,6 +45,55 @@ def test_ann_broadcasts_query_side(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+QUADRATIC_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["emb_cosine_pairs", "knn_vote", "shingle_overlap", "lsh_candidates",
+     "lsh_topk", "ivf_topk", "dedup_exact", "minhash", "simhash"],
+)
+def test_no_quadratic_plan_in_scale_queries(spark, qname):
+    """Every headline dedup/similarity query must plan as equi joins —
+    no nested-loop join and no cartesian product anywhere (round-1
+    verdict: the brute all-pairs variants are test-only baselines)."""
+    plan = plan_of(dq.QUERIES[qname](spark, SF))
+    for node in QUADRATIC_NODES:
+        assert node not in plan, f"{qname} plans a {node}:\n{plan}"
+
+
+def test_brute_topk_no_full_table_broadcast(spark):
+    """All-pairs brute_force_topk (test-only baseline) must not emit a
+    broadcast hint on the full table; explicit small query sets DO
+    broadcast (covered by test_ann_broadcasts_query_side)."""
+    from ctinexus_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(S.brute_force_topk(emb, None))
+    assert "ResolvedHint" not in plan
+    logical = emb._sc._jvm.PythonSQLUtils.explainString(
+        S.brute_force_topk(emb, None)._jdf.queryExecution(), "extended"
+    )
+    assert "broadcast" not in logical.split("== Physical Plan ==")[0].lower()
+
+
+def test_lsh_candidates_caps_degenerate_buckets(spark):
+    """A degenerate band bucket (here: hundreds of identical docs)
+    must be dropped by the bucket cap instead of exploding into n²/2
+    candidate pairs."""
+    from ctinexus_spark.operators.dedup import lsh_candidates
+
+    rows = [(i, "the same text repeated three times over") for i in range(50)]
+    rows += [(100, "a unique document body with many distinct tokens here"),
+             (101, "a unique document body with many distinct tokens here")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    capped = lsh_candidates(docs, max_bucket=10)
+    got = {(r.a_id, r.b_id) for r in capped.collect()}
+    assert got == {(100, 101)}  # the 50-dup bucket exceeded the cap
+    uncapped = lsh_candidates(docs, max_bucket=10_000)
+    assert uncapped.count() == 50 * 49 // 2 + 1
+
+
 def test_q1_partial_aggregation(spark):
     # map-side combine: HashAggregate below AND above the Exchange
     # (pre-execution AQE explain doesn't render WholeStageCodegen
