@@ -46,7 +46,7 @@ class PipelineConfig:
     # Banded (OR-amplified) vector LSH for near-dup candidate recall:
     # collide w.p. 1-(1-p^band_planes)^bands, p = 1-θ/π.
     vector_lsh_bands: int = 4
-    vector_lsh_band_planes: int = 4
+    vector_lsh_band_planes: int = 8
     # MinHash signature size and rows-per-band for text LSH.
     minhash_seeds: int = 8
     minhash_band_size: int = 2

@@ -309,9 +309,10 @@ cand AS (
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )"""
 
-# banded vector-LSH buckets (4 bands × 4 planes, global plane index
-# b*4+p) — shared hyperplanes with S.lsh_band_buckets
-_HP16 = S.hyperplane_signs(planes=16)
+# banded vector-LSH buckets (4 bands × 8 planes, global plane index
+# b*8+p) — shared hyperplanes with S.lsh_band_buckets
+_N_VBANDS, _VBAND_PLANES = 4, 8
+_HP_BANDED = S.hyperplane_signs(planes=_N_VBANDS * _VBAND_PLANES)
 
 
 def _plane_sql_from(signs: list[list[int]], p: int) -> str:
@@ -322,16 +323,16 @@ def _plane_sql_from(signs: list[list[int]], p: int) -> str:
     )
 
 
-def _vband_bucket_sql(b: int, band_planes: int = 4) -> str:
+def _vband_bucket_sql(b: int, band_planes: int = _VBAND_PLANES) -> str:
     return "concat(" + ", ".join(
-        f"CASE WHEN {_plane_sql_from(_HP16, b * band_planes + p)} THEN '1' ELSE '0' END"
+        f"CASE WHEN {_plane_sql_from(_HP_BANDED, b * band_planes + p)} THEN '1' ELSE '0' END"
         for p in range(band_planes)
     ) + ")"
 
 
 _VBANDS_ROWS = " UNION ALL ".join(
     f"SELECT vec_id, {b} AS band_idx, {_vband_bucket_sql(b)} AS bucket FROM embeddings"
-    for b in range(4)
+    for b in range(_N_VBANDS)
 )
 
 _CENTROIDS = S.ivf_centroids()

@@ -63,7 +63,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, h0..h{seeds-1}) — min of seeded md5 over distinct shingles.
     Docs with no shingles are dropped (nothing to compare)."""
-    sh = docs.select(F.col(id_col), F.explode(shingle_col(text_col)).alias("shingle"))
+    from ctinexus_spark.partitioning import ensure_parallelism
+
+    sh = ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(shingle_col(text_col)).alias("shingle")
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
         for s in range(seeds)
@@ -147,7 +151,11 @@ def shingle_overlap(
     TEST-ONLY baseline (round-1 anti-pattern #3); never run it at
     scale.
     """
-    sh = docs.select(F.col(id_col), F.explode(shingle_col(text_col)).alias("shingle"))
+    from ctinexus_spark.partitioning import ensure_parallelism
+
+    sh = ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(shingle_col(text_col)).alias("shingle")
+    )
     counts = sh.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_shingles"))
 
     a = sh.select(F.col(id_col).alias("a_id"), "shingle")
@@ -198,12 +206,13 @@ def _simhash_one(tokens: list[str], bits: int = SIMHASH_BITS) -> int:
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash bigint) — 48-bit sign-sum sketch (Arrow-batched)."""
+    from ctinexus_spark.partitioning import ensure_parallelism
 
     @pandas_udf("bigint")
     def _sh(texts: pd.Series) -> pd.Series:
         return pd.Series([_simhash_one((t or "").split(" ")) for t in texts])
 
-    return docs.select(F.col(id_col), _sh(F.col(text_col)).alias("simhash"))
+    return ensure_parallelism(docs).select(F.col(id_col), _sh(F.col(text_col)).alias("simhash"))
 
 
 def simhash_candidates(
@@ -278,7 +287,7 @@ def embedding_near_dups_lsh(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_bands: int = 4,
-    band_planes: int = 4,
+    band_planes: int = 8,
     max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-gated — the scale path:

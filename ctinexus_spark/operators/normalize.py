@@ -46,14 +46,13 @@ def normalize_documents(
     100 TB the scan naturally yields thousands of splits and this is
     a no-op.
     """
+    from ctinexus_spark.partitioning import ensure_parallelism
+
     df = documents
     if lang_filter and "lang" in df.columns:
         df = df.filter(F.col("lang") == lang_filter)
 
-    spark = df.sparkSession
-    target = min_parallelism or spark.sparkContext.defaultParallelism * 2
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    df = ensure_parallelism(df, min_parallelism)
 
     html_col = F.col("html") if "html" in df.columns else F.lit(None).cast("binary")
     normalize_udf = pandas_udf(_normalize_batch, "string")

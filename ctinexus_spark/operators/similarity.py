@@ -93,6 +93,8 @@ def lsh_buckets(
 ) -> DataFrame:
     """(id, bucket) — sign bits of dot products against fixed ±1
     hyperplanes, concatenated into a bucket key."""
+    from ctinexus_spark.partitioning import ensure_parallelism
+
     signs = hyperplane_signs(dim, planes)
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bits = []
@@ -100,7 +102,7 @@ def lsh_buckets(
         plane = F.array(*[F.lit(float(s)) for s in signs[p]])
         dot = F.aggregate(F.zip_with(vec, plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return embeddings.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+    return ensure_parallelism(embeddings).select(F.col(id_col), F.concat(*bits).alias("bucket"))
 
 
 def lsh_band_buckets(
@@ -121,6 +123,9 @@ def lsh_band_buckets(
     collide w.p. ≈0.23, cutting candidate pairs ~n²/16 per band at
     uniform spread. More bands raise recall, more planes per band cut
     bucket sizes; both are knobs (PipelineConfig.vector_lsh_*)."""
+    from ctinexus_spark.partitioning import ensure_parallelism
+
+    embeddings = ensure_parallelism(embeddings)
     signs = hyperplane_signs(dim, n_bands * band_planes)
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     rows = []
@@ -224,11 +229,15 @@ def ivf_assign(
     """(id, cell) — nearest centroid by cosine. centroids defaults to
     the deterministic seed set (SQL-oracle-reproducible); pass
     train_ivf_centroids output for the data-adapted partition."""
+    from ctinexus_spark.partitioning import ensure_parallelism
+
     cents = np.asarray(
         centroids if centroids is not None else ivf_centroids(dim, cells),
         dtype=np.float64,
     )
-    return embeddings.select(F.col(id_col), _assign_udf(cents)(F.col(vec_col)).alias("cell"))
+    return ensure_parallelism(embeddings).select(
+        F.col(id_col), _assign_udf(cents)(F.col(vec_col)).alias("cell")
+    )
 
 
 def train_ivf_centroids(

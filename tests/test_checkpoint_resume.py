@@ -93,6 +93,21 @@ def test_resume_processes_only_missing(spark, docs, tmp_path):
     assert rows == {(f"u{i}", f"TEXT {i}") for i in range(10)}
 
 
+def test_iceberg_store_gated_on_catalog(spark, docs, tmp_path):
+    """IcebergStageStore shares the StageStore contract but requires a
+    configured Iceberg catalog — absent in this sandbox, so the gate
+    must report unavailable (a cluster build flips it by configuring
+    spark.sql.catalog.<name>)."""
+    from ctinexus_spark.checkpoint import IcebergStageStore
+
+    assert not IcebergStageStore.is_available(spark, "iceberg")
+    if not IcebergStageStore.is_available(spark, "iceberg"):
+        pytest.skip("no Iceberg catalog configured in this sandbox")
+    # contract smoke (runs only on a catalog-enabled cluster)
+    store = IcebergStageStore(spark, "iceberg")
+    store.run_stage(spark, "s", docs, lambda d: d)
+
+
 def test_lineage_columns(spark, docs):
     got = with_lineage(docs, "ie")
     rows = got.collect()
