@@ -93,6 +93,21 @@ class StageStore:
         """Write a stage output as a fresh single-snapshot commit."""
         return self._append_version(df, stage, [], partition_by)
 
+    def compact(self, spark: SparkSession, stage: str) -> None:
+        """Merge all snapshot versions into one — bounds the file count
+        of a long resume chain (Iceberg's rewrite_data_files). Same
+        crash-safety as appends: the merged snapshot is a NEW version
+        dir, the manifest swap is atomic, and the superseded dirs are
+        garbage-collected by the next append."""
+        manifest = self._read_manifest(stage)
+        if manifest is None or len(manifest["versions"]) <= 1:
+            return
+        df = self.load(spark, stage)
+        k = 1 + max(int(v[2:]) for v in manifest["versions"])
+        version = f"v_{k}"
+        df.write.mode("overwrite").parquet(os.path.join(self._dir(stage), version))
+        self._write_manifest(stage, [version])
+
     def load(self, spark: SparkSession, stage: str) -> DataFrame | None:
         manifest = self._read_manifest(stage)
         if manifest is None:

@@ -382,14 +382,16 @@ def link_main_pairs(fused: DataFrame, docs: DataFrame, model) -> DataFrame:
 def fused_kg(docs: DataFrame, model, config: PipelineConfig) -> DataFrame:
     """documents(normalized) → final (url, subj, pred, obj, source)
     through the fused path."""
-    # Persist + eagerly materialize the one multi-consumer node:
-    # fused feeds the triple and main_pair branches. A lazy persist
-    # would race inside the single final job and compute it twice —
-    # count() is the stage barrier (the checkpointed production path
-    # gets the same barrier from the stage's parquet/Iceberg commit).
+    # Eagerly materialize the one multi-consumer node: fused feeds the
+    # triple and main_pair branches; a lazy cache would race inside the
+    # single final job and compute the model-call pass twice.
+    # localCheckpoint (not persist+count): same barrier, but the blocks
+    # are GC-reclaimed when the result is dropped — repeated fused_kg
+    # calls in one session don't accumulate pinned cache entries. (The
+    # checkpointed production path gets the same barrier from the
+    # stage's parquet/Iceberg commit.)
     typed = extract_and_tag(docs, model)
-    fused = align_graph_triples(typed, model, config).persist()
-    fused.count()
+    fused = align_graph_triples(typed, model, config).localCheckpoint(eager=True)
 
     links = link_main_pairs(fused, docs, model)
     predicted = links.filter(F.col("status") == "ok").select(

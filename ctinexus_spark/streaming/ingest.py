@@ -63,6 +63,52 @@ def stream_kg(
     )
 
 
+DEDUP_OUTPUT_SCHEMA = "fingerprint string, url string, text string"
+DEDUP_STATE_SCHEMA = "seen boolean"
+
+
+def stream_dedup(docs: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
+    """Cross-batch exact dedup over a streaming documents source: the
+    first document per md5(text) fingerprint is emitted, every later
+    arrival — in the SAME or any LATER micro-batch — is dropped.
+
+    This is the custom stateful operator shape foreachBatch cannot
+    express (state must outlive the batch): per-fingerprint state via
+    applyInPandasWithState, keyed by the fingerprint, storing one
+    `seen` flag. State size is one boolean per distinct document hash
+    — the streaming twin of exact_duplicates for a continuously-
+    crawled corpus. Ties inside a batch resolve to the smallest id
+    (same canonical-id rule as the batch operator).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    withfp = docs.withColumn("fingerprint", F.md5(F.col(text_col)))
+
+    def dedup_fn(key, pdfs, state):
+        if state.exists:
+            return iter(())  # emitted in an earlier micro-batch
+        first = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(id_col, kind="stable")
+            if len(pdf) and (first is None or pdf[id_col].iloc[0] < first[id_col]):
+                first = pdf.iloc[0]
+        if first is None:
+            return iter(())
+        state.update((True,))
+        return iter([pd.DataFrame([
+            {"fingerprint": key[0], "url": first[id_col], "text": first[text_col]}
+        ])])
+
+    return withfp.groupBy("fingerprint").applyInPandasWithState(
+        dedup_fn,
+        DEDUP_OUTPUT_SCHEMA,
+        DEDUP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "10 minutes",

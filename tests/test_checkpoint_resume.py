@@ -93,6 +93,33 @@ def test_resume_processes_only_missing(spark, docs, tmp_path):
     assert rows == {(f"u{i}", f"TEXT {i}") for i in range(10)}
 
 
+def test_compact_merges_versions_and_preserves_rows(spark, docs, tmp_path):
+    import json as _json
+
+    import pyspark.sql.functions as SF
+
+    store = StageStore(str(tmp_path))
+
+    def transform(df):
+        return df.withColumn("out", SF.upper("text"))
+
+    for hi in (4, 7, 10):  # three resumes → three version dirs
+        subset = docs.filter(SF.col("url").isin(*[f"u{i}" for i in range(hi)]))
+        store.run_stage(spark, "s", subset, transform)
+    manifest = _json.load(open(tmp_path / "s" / "_MANIFEST.json"))
+    assert len(manifest["versions"]) == 3
+
+    store.compact(spark, "s")
+    manifest = _json.load(open(tmp_path / "s" / "_MANIFEST.json"))
+    assert len(manifest["versions"]) == 1
+    assert store.load(spark, "s").count() == 10
+    # resume still works after compaction (and GCs superseded dirs)
+    final = store.run_stage(spark, "s", docs, transform)
+    assert {(r.url, r.out) for r in final.collect()} == {
+        (f"u{i}", f"TEXT {i}") for i in range(10)
+    }
+
+
 def test_iceberg_store_gated_on_catalog(spark, docs, tmp_path):
     """IcebergStageStore shares the StageStore contract but requires a
     configured Iceberg catalog — absent in this sandbox, so the gate

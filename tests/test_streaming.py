@@ -34,6 +34,47 @@ def test_stream_kg_end_to_end(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() > n_first
 
 
+def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """applyInPandasWithState keeps per-fingerprint state across
+    micro-batches: a duplicate text arriving in a LATER batch must be
+    dropped (foreachBatch cannot express this — state outlives the
+    batch)."""
+    import time
+
+    from ctinexus_spark.streaming.ingest import stream_dedup
+
+    src = str(tmp_path / "docs")
+    schema = "url string, text string"
+    spark.createDataFrame(
+        [("a1", "alpha body"), ("b1", "beta body"), ("a2", "alpha body")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct file mtimes → deterministic batch order
+    spark.createDataFrame(
+        [("a3", "alpha body"), ("c1", "gamma body")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(src)
+    )
+    q = (
+        stream_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {(r.url, r.text) for r in spark.sql("SELECT * FROM dedup_sink").collect()}
+    # a1 wins inside batch 1 (smallest id), a2 (same batch) and a3
+    # (later batch) are dropped; b1 and c1 pass through
+    assert rows == {("a1", "alpha body"), ("b1", "beta body"), ("c1", "gamma body")}
+
+
 def test_windowed_event_counts_with_watermark(spark, tmp_path):
     src = str(tmp_path / "events")
     spark.createDataFrame(
