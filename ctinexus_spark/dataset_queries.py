@@ -138,6 +138,66 @@ def q_ivf_topk(spark, sf_dir):
     return S.ivf_topk(_emb(spark, sf_dir))
 
 
+# --- multimodal plumbing (binary columns synthesized from text so the
+# driver tables can oracle-check the schema/metadata path; the codec
+# itself stays behind the honest stub in operators/multimodal.py) ----
+
+
+def q_mm_metadata(spark, sf_dir):
+    from ctinexus_spark.operators.multimodal import media_metadata
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    return media_metadata(media)
+
+
+def q_mm_frame_plan(spark, sf_dir):
+    from ctinexus_spark.operators.multimodal import frame_sample_plan
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars").cast("double") / F.lit(100.0)).alias("duration_sec"),
+    )
+    return frame_sample_plan(media, fps=0.2)
+
+
+def q_url_ops(spark, sf_dir):
+    """URL normalize/validate/domain (T8) over synthesized URLs — half
+    with an explicit scheme (mixed case host), half scheme-less (which
+    urlparse treats as all-path: empty domain, invalid)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ctinexus_spark.text.urls import extract_domain, is_valid_url, normalize_url
+
+    @pandas_udf("string")
+    def _norm(u):
+        return u.map(normalize_url)
+
+    @pandas_udf("string")
+    def _dom(u):
+        return u.map(extract_domain)
+
+    @pandas_udf("boolean")
+    def _valid(u):
+        return u.map(is_valid_url)
+
+    d = F.col("doc_id").cast("string")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("https://WWW.Example"), d, F.lit(".COM/p/"), d),
+    ).otherwise(F.concat(F.lit("www.example"), d, F.lit(".com/p/"), d))
+    u = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        _norm(F.col("url")).alias("norm_url"),
+        _dom(_norm(F.col("url"))).alias("domain"),
+        _dom(F.col("url")).alias("raw_domain"),
+        _valid(F.col("url")).alias("raw_valid"),
+    )
+
+
 def q_quality_gate(spark, sf_dir):
     from ctinexus_spark.operators.prepare import quality_gate
 
@@ -602,6 +662,38 @@ SELECT query_id, n_label AS predicted_label FROM (
   FROM votes
 ) WHERE rk = 1
 """,
+    "mm_metadata": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       'unknown' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+""",
+    "mm_frame_plan": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(i AS DOUBLE) / 0.2 AS sample_ts_sec
+FROM documents,
+     unnest(range(0, greatest(1, CAST(floor((n_chars / 100.0) * 0.2) AS BIGINT)))) t(i)
+""",
+    "url_ops": """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'https://WWW.Example' || CAST(doc_id AS VARCHAR) || '.COM/p/' || CAST(doc_id AS VARCHAR)
+              ELSE 'www.example' || CAST(doc_id AS VARCHAR) || '.com/p/' || CAST(doc_id AS VARCHAR) END AS url
+  FROM documents
+),
+n AS (
+  SELECT doc_id, url,
+         CASE WHEN url LIKE 'https://%' THEN url ELSE 'https://' || url END AS norm_url
+  FROM u
+)
+SELECT doc_id, norm_url,
+       lower(split_part(substr(norm_url, 9), '/', 1)) AS domain,
+       CASE WHEN url LIKE 'https://%' THEN lower(split_part(substr(url, 9), '/', 1)) ELSE '' END AS raw_domain,
+       (url LIKE 'https://%') AS raw_valid
+FROM n
+""",
     "quality_gate": f"""
 SELECT doc_id, lang, n_chars FROM documents
 WHERE text IS NOT NULL
@@ -699,6 +791,9 @@ QUERIES = {
     "knn_vote": q_knn_vote,
     "ivf_assign": q_ivf_assign,
     "ivf_topk": q_ivf_topk,
+    "mm_metadata": q_mm_metadata,
+    "mm_frame_plan": q_mm_frame_plan,
+    "url_ops": q_url_ops,
     "quality_gate": q_quality_gate,
     "text_dedupe": q_text_dedupe,
     "tpch_q1": q_tpch_q1,

@@ -405,6 +405,18 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
 """
 
 
+def q_doc_text_norm(spark, sf_dir):
+    """Normalization byte-identity (T4) on the driver corpus: the
+    word-salad docs contain none of the boilerplate / zero-width
+    patterns normalize_text strips, so its output must equal the raw
+    text byte for byte — hash-checked by the oracle (the reference-
+    corpus twin of this invariant is EVAL.md's 148/148)."""
+    return _docs_norm(spark, sf_dir).select(_doc_id(), "text_norm")
+
+
+ORACLES["doc_text_norm"] = "SELECT doc_id, text AS text_norm FROM documents"
+
+
 # --- EA cosine-merge under a real alias pair ---------------------------
 # StubModel's alias_map drives cosine('join','merge') ≈ 0.96 > the 0.6
 # threshold (model.py:93-103), so wherever a document mentions both
@@ -573,6 +585,7 @@ QUERIES = {
     "kg_entity_degree": q_kg_entity_degree,
     "lp_split_graph": q_lp_split_graph,
     "doc_sample": q_doc_sample,
+    "doc_text_norm": q_doc_text_norm,
     "ie_triples": q_ie_triples,
     "ie_counts": q_ie_counts,
     "et_typed": q_et_typed,
