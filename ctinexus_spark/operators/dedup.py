@@ -295,7 +295,7 @@ def embedding_near_dups_lsh(
     pairs via an equi bucket join, then the exact cosine threshold
     re-ranks. No nested-loop join, no full-table broadcast; cost is
     Σ bucket²/2 per band, bounded by the max_bucket cap."""
-    from ctinexus_spark.operators.similarity import cap_buckets, cosine_expr, lsh_band_buckets
+    from ctinexus_spark.operators.similarity import cap_buckets, cosine_udf, lsh_band_buckets
 
     bands = lsh_band_buckets(embeddings, id_col, vec_col, n_bands=n_bands, band_planes=band_planes)
     bands = cap_buckets(bands, ["band_idx", "bucket"], max_bucket).localCheckpoint(eager=True)
@@ -309,9 +309,12 @@ def embedding_near_dups_lsh(
     )
     ea = embeddings.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
     eb = embeddings.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    # Arrow-batched cosine for the re-rank: candidate pairs number
+    # ~n²/2^band_planes per band — the HOF expression path interprets
+    # per element and GC-thrashes there; cosine_udf is bit-identical
     return (
         cand.join(ea, "a_id")
         .join(eb, "b_id")
-        .select("a_id", "b_id", cosine_expr("a_vec", "b_vec").alias("cosine"))
+        .select("a_id", "b_id", cosine_udf()(F.col("a_vec"), F.col("b_vec")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

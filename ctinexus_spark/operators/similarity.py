@@ -35,6 +35,31 @@ def cosine_expr(a: str, b: str) -> Column:
     return dot / (na * nb)
 
 
+def cosine_udf() -> Column:
+    """Arrow-batched cosine, bit-identical to cosine_expr: the sums
+    accumulate dimension-by-dimension in doubles — the same left-fold
+    order as the JVM aggregate() and DuckDB's list functions — but
+    vectorized across the batch instead of interpreted per element
+    (higher-order functions are not codegen'd; on millions of candidate
+    pairs the HOF path is GC-bound). Use for wide re-rank joins; keep
+    cosine_expr where the pair count is small."""
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.vstack([np.asarray(v, dtype=np.float64) for v in a])
+        mb = np.vstack([np.asarray(v, dtype=np.float64) for v in b])
+        dot = np.zeros(ma.shape[0])
+        na = np.zeros(ma.shape[0])
+        nb = np.zeros(ma.shape[0])
+        for d in range(ma.shape[1]):  # left-fold per dimension
+            dot += ma[:, d] * mb[:, d]
+            na += ma[:, d] * ma[:, d]
+            nb += mb[:, d] * mb[:, d]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return _cos
+
+
 def hyperplane_signs(dim: int = EMBED_DIM, planes: int = N_PLANES) -> list[list[int]]:
     """Deterministic ±1 hyperplanes: sign from md5(f"{plane}:{dim}")."""
     out = []
@@ -126,18 +151,31 @@ def lsh_band_buckets(
     from ctinexus_spark.partitioning import ensure_parallelism
 
     embeddings = ensure_parallelism(embeddings)
-    signs = hyperplane_signs(dim, n_bands * band_planes)
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    rows = []
-    for b in range(n_bands):
-        bits = []
-        for p in range(band_planes):
-            plane = F.array(*[F.lit(float(s)) for s in signs[b * band_planes + p]])
-            dot = F.aggregate(F.zip_with(vec, plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-        rows.append(F.struct(F.lit(b).alias("band_idx"), F.concat(*bits).alias("bucket")))
-    return embeddings.select(F.col(id_col), F.explode(F.array(*rows)).alias("bb")).select(
-        id_col, F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket")
+    signs = np.asarray(hyperplane_signs(dim, n_bands * band_planes), dtype=np.float64)
+
+    # One Arrow UDF instead of n_bands*band_planes higher-order-fold
+    # expressions: HOFs are interpreted per element (32 planes × 64
+    # dims per row is GC-heavy), while here the plane dots vectorize
+    # across the batch. The accumulation runs dimension-by-dimension in
+    # doubles — the SAME left-fold order as the SQL oracle's list_sum
+    # and the JVM aggregate() — so sign bits are bit-identical.
+    @pandas_udf("array<string>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        dots = np.zeros((m.shape[0], signs.shape[0]))
+        for d in range(m.shape[1]):
+            dots += m[:, d : d + 1] * signs[None, :, d][0]
+        bits = dots >= 0
+        out = []
+        for i in range(m.shape[0]):
+            out.append([
+                "".join("1" if bits[i, b * band_planes + p] else "0" for p in range(band_planes))
+                for b in range(n_bands)
+            ])
+        return pd.Series(out)
+
+    return embeddings.select(
+        F.col(id_col), F.posexplode(_buckets(F.col(vec_col))).alias("band_idx", "bucket")
     )
 
 
