@@ -522,6 +522,27 @@ SELECT doc_id, CAST(n AS INT) AS entity_id, '{IOC_B}' AS entity_text FROM ncl
 """
 
 
+def q_kg_global_entities(spark, sf_dir):
+    """Cross-document entity resolution over the corpus's distinct
+    entity texts: with the alias-map embeddings, 'join' and 'merge'
+    connect (cos ≈ 0.94, sharing LSH bands 1-2 deterministically) and
+    collapse to one global id; every other term is its own entity.
+    Runs the REAL machinery — Arrow embeddings → banded LSH pairs →
+    exact cosine → distributed CC (operators/resolve.py)."""
+    from ctinexus_spark.operators.resolve import global_entity_resolution
+
+    _typed_df, aligned = _aligned(spark, sf_dir)
+    model = StubModel(CONFIG, alias_map=EA_ALIAS_MAP)
+    return global_entity_resolution(aligned, model, CONFIG.similarity_threshold)
+
+
+ORACLES["kg_global_entities"] = _BASE + """
+SELECT entity_text,
+       CASE WHEN entity_text IN ('join', 'merge') THEN 'join' ELSE entity_text END AS global_id
+FROM (SELECT DISTINCT term AS entity_text FROM ment2)
+"""
+
+
 # --- LP hallucination guard + orientation swap (L7-L8) ------------------
 
 
@@ -578,6 +599,7 @@ FROM linkpairs
 """
 
 QUERIES = {
+    "kg_global_entities": q_kg_global_entities,
     "ea_entities_merged": q_ea_entities_merged,
     "ea_ioc_unmerge": q_ea_ioc_unmerge,
     "lp_links_flaky": q_lp_links_flaky,

@@ -84,3 +84,27 @@ class TestDatagen:
         assert any(o.startswith("CVE-") for o in objs)
         # null-text docs flow through the html fallback without error
         assert all(r.pred for r in rows)
+
+
+def test_global_entity_resolution(spark):
+    """Cross-document resolution: alias-linked texts collapse to one
+    global id (min text), everything else resolves to itself."""
+    from ctinexus_spark.config import PipelineConfig
+    from ctinexus_spark.model import StubModel
+    from ctinexus_spark.operators.resolve import global_entity_resolution
+
+    ents = spark.createDataFrame(
+        [("APT29",), ("Cozy Bear",), ("LockBit",), ("phishing",)],
+        "entity_text string",
+    )
+    merged = global_entity_resolution(
+        ents, StubModel(PipelineConfig(), alias_map={"Cozy Bear": "APT29"})
+    )
+    got = {(r.entity_text, r.global_id) for r in merged.collect()}
+    assert got == {
+        ("APT29", "APT29"), ("Cozy Bear", "APT29"),
+        ("LockBit", "LockBit"), ("phishing", "phishing"),
+    }
+
+    identity = global_entity_resolution(ents, StubModel(PipelineConfig()))
+    assert all(r.entity_text == r.global_id for r in identity.collect())
