@@ -77,6 +77,35 @@ def test_brute_topk_no_full_table_broadcast(spark):
     assert "broadcast" not in logical.split("== Physical Plan ==")[0].lower()
 
 
+def test_bucketed_join_avoids_exchange(spark, tmp_path):
+    """Tables bucketed on the join key join WITHOUT an Exchange — the
+    shuffle is paid once at write time (co-located storage layout)."""
+    from ctinexus_spark.bucketing import write_bucketed
+
+    kg = spark.createDataFrame(
+        [(f"u{i % 20}", f"s{i}", "p", f"o{i}") for i in range(200)],
+        "url string, subj string, pred string, obj string",
+    )
+    docs = spark.createDataFrame(
+        [(f"u{i}", f"text {i}") for i in range(20)], "url string, text string"
+    )
+    write_bucketed(kg, "bkt_kg", "url", 4, str(tmp_path / "kg"))
+    write_bucketed(docs, "bkt_docs", "url", 4, str(tmp_path / "docs"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_kg").join(spark.table("bkt_docs"), "url")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_kg")
+        spark.sql("DROP TABLE IF EXISTS bkt_docs")
+
+
 def test_lsh_candidates_caps_degenerate_buckets(spark):
     """A degenerate band bucket (here: hundreds of identical docs)
     must be dropped by the bucket cap instead of exploding into n²/2
