@@ -57,6 +57,14 @@ def q_fingerprints(spark, sf_dir):
     return T.fingerprints(_docs(spark, sf_dir))
 
 
+def q_bpe_tokens(spark, sf_dir):
+    return T.bpe_token_estimate(_docs(spark, sf_dir))
+
+
+def q_winnow_fp(spark, sf_dir):
+    return T.winnowed_fingerprints(_docs(spark, sf_dir))
+
+
 # --- dedup --------------------------------------------------------------
 
 
@@ -459,6 +467,32 @@ FROM documents
     "fingerprints": """
 SELECT doc_id, md5(text) AS fingerprint FROM documents
 """,
+    "bpe_tokens": f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{T.BPE_SPLIT_PATTERN}')) AS BIGINT) AS n_bpe_pieces,
+       CAST(len(regexp_extract_all(text, '{T.BPE_SPLIT_PATTERN}')) AS DOUBLE)
+         / CAST(len({_TOKS}) AS DOUBLE) AS pieces_per_word
+FROM documents
+""",
+    "winnow_fp": f"""
+WITH sh AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_slice({_TOKS}, i + 1, i + 3), ' ')) AS h
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(0, greatest(0, len({_TOKS}) - 2))) AS i
+    FROM documents
+  )
+),
+wm AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+  FROM sh
+)
+SELECT DISTINCT doc_id, fingerprint FROM wm
+""",
     "dedup_exact": """
 SELECT md5(text) AS fingerprint,
        min(doc_id) AS canonical_id,
@@ -776,6 +810,8 @@ QUERIES = {
     "quality": q_quality,
     "lang_features": q_lang_features,
     "fingerprints": q_fingerprints,
+    "bpe_tokens": q_bpe_tokens,
+    "winnow_fp": q_winnow_fp,
     "dedup_exact": q_dedup_exact,
     "minhash": q_minhash,
     "lsh_bands": q_lsh_bands,
@@ -813,5 +849,6 @@ BENCH_QUERIES = {
     "emb_neardup_lsh": q_emb_cosine_pairs,
     "ann_lsh_topk": q_lsh_topk,
     "text_quality": q_quality,
+    "text_winnow_fp": q_winnow_fp,
     "tpch_q1": q_tpch_q1,
 }

@@ -59,6 +59,63 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint"))
 
 
+# BPE-ish lexer: letter runs, digit runs, and single non-alnum marks —
+# the pre-tokenization split every BPE vocabulary starts from. RE2-safe
+# (no lookahead) so Spark's Java regex and DuckDB agree exactly.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_estimate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_pieces, pieces_per_word) — a tokenizer-
+    free estimate of model-token counts: whitespace words plus the
+    BPE-style piece count from the pre-tokenization lexer. Real BPE
+    merges only reduce the piece count within a word, so n_bpe_pieces
+    upper-bounds (and at web scale tracks) the model's count."""
+    toks = _tokens(text_col)
+    pieces = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), 0))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_ws_tokens"),
+        pieces.cast("bigint").alias("n_bpe_pieces"),
+        (pieces.cast("double") / F.size(toks).cast("double")).alias("pieces_per_word"),
+    )
+
+
+def winnowed_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints: hash every
+    k-token shingle in position order, keep the minimum hash of each
+    sliding window of `window` consecutive shingles, emit the distinct
+    selected hashes. Guarantees any shared run of ≥ window+k-1 tokens
+    between two documents shares a fingerprint (the MOSS property) —
+    the robust near-dup/plagiarism key md5-of-whole-doc cannot give.
+    Pure JVM: positional shingles via transform+slice, window minima
+    via a min() OVER (ROWS BETWEEN ...) frame — deterministic on both
+    engines."""
+    from pyspark.sql import Window
+
+    toks = _tokens(text_col)
+    shingles = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = docs.select(F.col(id_col), F.posexplode(shingles).alias("pos", "h"))
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        pos.withColumn("wmin", F.min("h").over(w))
+        .select(F.col(id_col), F.col("wmin").alias("fingerprint"))
+        .distinct()
+    )
+
+
 def lang_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Language-ID heuristic features: English stopword hit-rate and
     ascii-letter ratio. (A full lang-id model would be a broadcast

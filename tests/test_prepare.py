@@ -32,3 +32,27 @@ def test_exact_text_dedupe_min_id_wins(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {r.doc_id for r in exact_text_dedupe(df).collect()}
     assert got == {2, 9}
+
+
+def test_winnowing_shared_run_shares_fingerprint(spark):
+    """MOSS guarantee: two docs sharing a run of >= window+k-1 tokens
+    (here 6) share at least one winnowed fingerprint; disjoint docs
+    share none."""
+    from ctinexus_spark.operators.textops import winnowed_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} trailing stuff here"),
+            (2, f"{shared} completely different ending tokens now"),
+            (3, "nothing in common with the others at all kept long enough"),
+        ],
+        "doc_id int, text string",
+    )
+    fps = winnowed_fingerprints(docs)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
