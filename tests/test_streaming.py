@@ -103,3 +103,56 @@ def test_windowed_event_counts_with_watermark(spark, tmp_path):
     # verify the sink path exists and the query completed cleanly.
     assert q.lastProgress is not None
     assert os.path.isdir(out)
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """An event arriving in a later micro-batch BEHIND the advanced
+    watermark must not resurrect its (already emittable) window, while
+    an on-time late-batch event lands normally."""
+    import time
+
+    src = str(tmp_path / "ev")
+    schema = "ts timestamp, event_type string"
+
+    def write(rows):
+        spark.createDataFrame(rows, "ts_s string, event_type string").selectExpr(
+            "CAST(ts_s AS TIMESTAMP) AS ts", "event_type"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: events up to 12:00 → watermark advances to 11:30
+    write([("2026-01-01 10:01:00", "click"),
+           ("2026-01-01 10:02:00", "click"),
+           ("2026-01-01 12:00:00", "view")])
+    time.sleep(1.1)
+    # batch 2: fresh event; the 10:00-10:10 window (end < watermark)
+    # is emitted and its state evicted at the end of this batch
+    write([("2026-01-01 13:00:00", "view")])
+    time.sleep(1.1)
+    # batch 3: a hopelessly late event (10:03 — its window was already
+    # evicted) must be dropped, not re-opened; plus one fresh event
+    write([("2026-01-01 10:03:00", "click"),
+           ("2026-01-01 14:00:00", "view")])
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_sink")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {
+        (str(r.window_start), r.event_type, r.n)
+        for r in spark.sql("SELECT * FROM wm_sink").collect()
+    }
+    # the 10:00-10:10 click window closed with n=2 — the late 10:03
+    # event was dropped by the watermark: not counted, and no
+    # duplicate re-opened window emitted
+    assert ("2026-01-01 10:00:00", "click", 2) in rows
+    assert sum(1 for _, t, _n in rows if t == "click") == 1
