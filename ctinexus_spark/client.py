@@ -210,6 +210,24 @@ class HttpModelClient:
             [build_link_prompt(d, m, t) for d, m, t in items]
         )
 
+    def summarize(self, focused_text: str, repair: bool = False) -> str:
+        """CTI summarization (+ strict-format repair retry), the T7
+        path url_ingest drives (reference summarize/repair prompts)."""
+        instruction = (
+            "Rewrite the following threat-intelligence text as one "
+            "plain-prose paragraph of 3-6 complete sentences covering "
+            "actors, techniques, indicators, and impact. No headings, "
+            "no lists, no JSON."
+        )
+        if repair:
+            instruction += (
+                " STRICT FORMAT: your previous answer was malformed; "
+                "return ONLY the paragraph, nothing else."
+            )
+        return self._complete_batch(
+            [[{"role": "user", "content": f"{instruction}\n\n{focused_text}"}]]
+        )[0]
+
     def embed(self, texts: list[str]) -> np.ndarray:
         if not texts:
             return np.zeros((0, self.embedding_dim))

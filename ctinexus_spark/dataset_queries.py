@@ -3,12 +3,20 @@ oracle twins (extends entry_queries; merged by __spark_entry__).
 
 Families:
 - text analysis : token stats, quality scores, lang features,
-                  fingerprints (operators/textops.py)
-- dedup         : exact, MinHash signatures, LSH bands/candidates,
-                  n-gram Jaccard overlap, SimHash (rows-only oracle),
-                  embedding-cosine pairs (operators/dedup.py)
-- similarity    : brute-force top-k, LSH buckets, LSH top-k,
-                  kNN label vote (operators/similarity.py)
+                  fingerprints, BPE-piece estimates, winnowing
+                  rolling-hash fingerprints (operators/textops.py)
+- dedup         : exact, MinHash signatures, LSH bands/candidates
+                  (bucket-capped), candidate-gated n-gram Jaccard,
+                  SimHash + hamming bands, LSH-gated embedding
+                  near-dups, CC duplicate clusters (operators/dedup.py,
+                  graph/components.py)
+- similarity    : query-broadcast exact top-k, LSH buckets/top-k,
+                  IVF assign/top-k (+ trained k-means centroids),
+                  kNN label vote over LSH neighbors
+                  (operators/similarity.py)
+- multimodal    : binary metadata + frame-sample plans over binary
+                  columns synthesized from text (operators/multimodal)
+- url ops       : normalize/validate/domain (text/urls.py)
 - classical     : TPC-H-style agg + join + window/sessionization
                   (the classical-operator checklist of SURVEY.md §2.7)
 

@@ -184,6 +184,21 @@ def test_embed_sorts_by_index():
     assert (vecs[1] == stub_embedding("beta")).all()
 
 
+def test_summarize_passes_instruction_and_repair_flag():
+    seen = []
+
+    def echo(payload):
+        seen.append(payload["messages"][-1]["content"])
+        return {"choices": [{"message": {"content": "A clean paragraph."}}],
+                "usage": {"prompt_tokens": 1, "completion_tokens": 1}}
+
+    c = _client(echo)
+    assert c.summarize("raw cti text") == "A clean paragraph."
+    assert "raw cti text" in seen[0] and "STRICT FORMAT" not in seen[0]
+    c.summarize("raw cti text", repair=True)
+    assert "STRICT FORMAT" in seen[1]
+
+
 # --- pickling into Spark workers ------------------------------------------
 
 
