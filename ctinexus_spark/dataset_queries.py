@@ -118,6 +118,10 @@ def q_dedup_clusters_cc(spark, sf_dir):
     return connected_components(edges, "a_id", "b_id")
 
 
+def q_dedup_keeplist(spark, sf_dir):
+    return D.dedup_keep_list(_docs(spark, sf_dir))
+
+
 def q_emb_cosine_pairs(spark, sf_dir):
     # low threshold so the check is value-rich on random vectors;
     # LSH-gated scale path (the brute all-pairs variant is test-only)
@@ -612,6 +616,26 @@ reach(v, r) AS (
 )
 SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
 """,
+    # dedup_keeplist: survivors = all docs minus non-canonical cluster
+    # members from the recursive-CTE transitive closure over capped
+    # LSH candidate pairs (twin of D.dedup_keep_list).
+    "dedup_keeplist": f"""
+WITH RECURSIVE {_CAND_CTES},
+sym AS (
+  SELECT a_id AS a, b_id AS b FROM cand
+  UNION
+  SELECT b_id AS a, a_id AS b FROM cand
+),
+verts AS (SELECT DISTINCT a AS v FROM sym),
+reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT reach.v, s.b FROM reach JOIN sym s ON reach.r = s.a
+),
+cc AS (SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT vertex FROM cc WHERE vertex != component)
+""",
     "emb_cosine_pairs": f"""
 WITH vb AS ({_VBANDS_ROWS}),
 okb AS (
@@ -828,6 +852,7 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_candidates": q_simhash_candidates,
     "dedup_clusters_cc": q_dedup_clusters_cc,
+    "dedup_keeplist": q_dedup_keeplist,
     "emb_cosine_pairs": q_emb_cosine_pairs,
     "ann_topk": q_ann_topk,
     "lsh_buckets": q_lsh_buckets,

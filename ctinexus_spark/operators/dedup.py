@@ -261,6 +261,28 @@ def simhash_candidates(
     return pairs
 
 
+def dedup_keep_list(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """The end-to-end near-dup decision a training-data pipeline ships:
+    MinHash→LSH candidates → duplicate clusters (distributed CC) →
+    keep exactly the minimum-id member of every cluster plus all
+    unclustered docs. Every stage is a bucketed equi-join or a
+    label-propagation round — the full Common-Crawl dedup funnel with
+    no all-pairs step."""
+    from ctinexus_spark.graph.components import connected_components
+
+    edges = lsh_candidates(docs, id_col, text_col, max_bucket)
+    comps = connected_components(edges, "a_id", "b_id")
+    drops = comps.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias(id_col)
+    )
+    return docs.select(id_col).join(drops, id_col, "left_anti")
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     id_col: str = "vec_id",
