@@ -672,7 +672,9 @@ SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings
 """,
     "lsh_topk": f"""
 WITH b AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings),
-withb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+okb AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= {S.MAX_BUCKET}),
+withb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e
+          JOIN b ON e.vec_id = b.vec_id JOIN okb ON b.bucket = okb.bucket),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
@@ -690,13 +692,24 @@ SELECT vec_id, cell FROM assign
 """,
     "ivf_topk": f"""
 WITH {_IVF_ASSIGN_SQL},
-withc AS (
-  SELECT e.vec_id, e.embedding, a.cell FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+probes AS (
+  SELECT vec_id, CAST(cell AS INT) AS cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+    FROM scored_cells
+  ) WHERE rn <= {S.N_IVF_PROBE}
+),
+okc AS (SELECT cell FROM assign GROUP BY cell HAVING count(*) <= {S.MAX_CELL}),
+cand AS (
+  SELECT e.vec_id, e.embedding, a.cell FROM embeddings e
+  JOIN assign a ON e.vec_id = a.vec_id JOIN okc ON a.cell = okc.cell
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
-  FROM withc q JOIN withc c ON q.cell = c.cell AND q.vec_id != c.vec_id
+  FROM (SELECT p.vec_id, e.embedding, p.cell FROM probes p
+        JOIN embeddings e ON p.vec_id = e.vec_id) q
+  JOIN cand c ON q.cell = c.cell AND q.vec_id != c.vec_id
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
   SELECT query_id, neighbor_id,
@@ -706,7 +719,9 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
 """,
     "knn_vote": f"""
 WITH b AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings),
-withb AS (SELECT e.vec_id, e.embedding, e.label, b.bucket FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+okb AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= {S.MAX_BUCKET}),
+withb AS (SELECT e.vec_id, e.embedding, e.label, b.bucket FROM embeddings e
+          JOIN b ON e.vec_id = b.vec_id JOIN okb ON b.bucket = okb.bucket),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS n_label,
          list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine

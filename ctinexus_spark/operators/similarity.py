@@ -22,6 +22,11 @@ from pyspark.sql.functions import pandas_udf
 
 EMBED_DIM = 64
 N_PLANES = 8
+# Degenerate-bucket guard shared with the dedup funnel (dedup.py uses
+# the same value): a hot LSH bucket/IVF cell contributes n²/2 in-cell
+# pairs, so every self-join path drops groups above the cap.
+MAX_BUCKET = 1000
+MAX_CELL = 10_000
 
 
 def cosine_expr(a: str, b: str) -> Column:
@@ -200,6 +205,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     planes: int = N_PLANES,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Approximate top-k: exact cosine re-rank *within* LSH buckets.
     The bucket join is the O(n²) → O(n·bucket) reduction that survives
@@ -208,8 +214,18 @@ def lsh_topk(
     Bucket-size math: `planes` sign bits give 2^planes buckets, so at
     uniform spread in-bucket pair count is ~n²/2^planes — 8 planes is
     right for ~10⁶ rows; at 10⁹+ rows raise `planes` (e.g. 20 → ~10⁶
-    buckets) and/or multi-probe via lsh_band_buckets so recall holds."""
-    b = lsh_buckets(embeddings, id_col, vec_col, planes=planes)
+    buckets) and/or multi-probe via lsh_band_buckets so recall holds.
+
+    max_bucket bounds the worst case when the spread is NOT uniform
+    (near-duplicate-heavy corpus, hyperplanes unlucky on a skewed
+    embedding distribution): a bucket above the cap is dropped from
+    BOTH join sides — its members were going to produce n_bucket² pairs
+    in a single task, and a bucket that common carries no neighborhood
+    signal. Queries in a dropped bucket return no rows (same contract
+    as lsh_candidates / embedding_near_dups_lsh in dedup.py)."""
+    b = cap_buckets(
+        lsh_buckets(embeddings, id_col, vec_col, planes=planes), ["bucket"], max_bucket
+    )
     withb = embeddings.join(b, id_col)
     qa = withb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket")
     ca = withb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket")
@@ -224,6 +240,18 @@ def lsh_topk(
 
 
 N_IVF_CELLS = 16
+N_IVF_PROBE = 2
+# Cell-count sizing: in-cell pair cost is ~n²/cells, so cells should
+# grow with the corpus. ~4k vectors per cell keeps the per-cell re-rank
+# a few-ms numpy job at any n; 10⁹ vectors → ~256k cells.
+IVF_TARGET_CELL = 4096
+
+
+def suggest_ivf_cells(n_vectors: int, target_cell: int = IVF_TARGET_CELL) -> int:
+    """cells ≈ n/target_cell (min N_IVF_CELLS). Use with
+    train_ivf_centroids(cells=suggest_ivf_cells(df.count())) so the
+    partition granularity tracks corpus size instead of a constant."""
+    return max(N_IVF_CELLS, -(-n_vectors // target_cell))
 
 
 def ivf_centroids(dim: int = EMBED_DIM, cells: int = N_IVF_CELLS) -> list[list[float]]:
@@ -254,6 +282,28 @@ def _assign_udf(cents: np.ndarray):
         return pd.Series(best.astype("int32"))
 
     return _assign
+
+
+def _probe_udf(cents: np.ndarray, nprobe: int):
+    """Top-nprobe nearest centroids per query vector (multi-probe IVF
+    search). Same GEMM kernel and the same tie rule as _assign_udf —
+    cosine DESC, cell DESC — so the SQL oracle's row_number() twin
+    reproduces the probe list exactly."""
+
+    @pandas_udf("array<int>")
+    def _probe(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ cents.T
+        # reverse cells then stable-argsort so ties prefer the higher
+        # original cell index (mirrors ORDER BY cos DESC, cell DESC)
+        rev = sims[:, ::-1]
+        order = np.argsort(-rev, axis=1, kind="stable")[:, :nprobe]
+        cells = (sims.shape[1] - 1) - order
+        return pd.Series([row.astype("int32").tolist() for row in cells])
+
+    return _probe
 
 
 def ivf_assign(
@@ -339,17 +389,49 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     centroids: list[list[float]] | None = None,
+    dim: int = EMBED_DIM,
+    cells: int = N_IVF_CELLS,
+    nprobe: int = N_IVF_PROBE,
+    max_cell: int = MAX_CELL,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine re-rank within the query's IVF
-    cell (nprobe=1). Same bucket-join scale shape as lsh_topk."""
-    cellmap = ivf_assign(embeddings, id_col, vec_col, centroids=centroids)
-    # localCheckpoint: both self-join sides consume this; persist would
-    # leak in the cache manager (no safe unpersist point for a lazy
-    # result), checkpoint blocks are GC-reclaimed once unreferenced
+    """Approximate top-k: exact cosine re-rank within the query's
+    nprobe nearest IVF cells. Same bucket-join scale shape as lsh_topk.
+
+    Scale guards (both mandatory at 100×):
+    - `cells` must grow with the corpus — use suggest_ivf_cells(n) /
+      train_ivf_centroids; the join cost is ~n²/cells in-cell pairs.
+    - `max_cell` drops degenerate hot cells from the CANDIDATE side
+      (a cell the centroids failed to split would otherwise re-rank
+      n_cell² pairs in one task). Queries keep their other probed
+      cells, so nprobe>1 degrades recall gracefully instead of
+      silencing the query entirely.
+    - `nprobe` probes the query's nprobe nearest centroids — the
+      standard recall knob that makes more cells affordable: recall
+      lost to finer partitioning is bought back by probing more cells,
+      at cost nprobe·n/cells candidates per query instead of n.
+    Candidates have exactly one assigned cell, so a (query, neighbor)
+    pair appears at most once — no dedup needed after the probe join."""
+    cents = np.asarray(
+        centroids if centroids is not None else ivf_centroids(dim, cells), dtype=np.float64
+    )
+    cellmap = ivf_assign(embeddings, id_col, vec_col, dim=dim, cells=cells, centroids=cents.tolist())
+    # localCheckpoint: the cell-size guard's groupBy and the candidate
+    # scan both consume this; persist would leak in the cache manager
+    # (no safe unpersist point for a lazy result), checkpoint blocks
+    # are GC-reclaimed once unreferenced. The cap sits downstream of
+    # the barrier so it is computed once AND stays plan-visible
+    # (test_plans.py::test_ann_topk_plans_carry_bucket_cap).
+    from ctinexus_spark.partitioning import ensure_parallelism
+
     withc = embeddings.join(cellmap, id_col).localCheckpoint(eager=True)
-    qa = withc.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell")
-    ca = withc.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell")
-    pairs = qa.join(ca, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    capped = cap_buckets(withc, ["cell"], max_cell)
+    probes = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_probe_udf(cents, nprobe)(F.col(vec_col))).alias("cell"),
+    )
+    ca = capped.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell")
+    pairs = probes.join(ca, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select("query_id", "neighbor_id", cosine_expr("q_vec", "c_vec").alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -123,6 +123,73 @@ def test_lsh_candidates_caps_degenerate_buckets(spark):
     assert uncapped.count() == 50 * 49 // 2 + 1
 
 
+@pytest.mark.parametrize("qname", ["lsh_topk", "ivf_topk", "knn_vote"])
+def test_ann_topk_plans_carry_bucket_cap(spark, qname):
+    """The ANN top-k self-joins must include the degenerate-group guard
+    (cap_buckets' `_bucket_n <= cap` filter) — a hot LSH bucket / IVF
+    cell is dropped instead of exploding into n² in-group pairs."""
+    plan = plan_of(dq.QUERIES[qname](spark, SF))
+    assert "_bucket_n" in plan, f"{qname} plan has no bucket-size guard:\n{plan}"
+
+
+def test_lsh_topk_caps_degenerate_buckets(spark):
+    """40 identical vectors land in one bucket; at max_bucket=10 that
+    bucket is dropped from both sides, so none of them appears as a
+    query or neighbor — the same contract as lsh_candidates."""
+    from ctinexus_spark.model import stub_embedding
+    from ctinexus_spark.operators import similarity as S
+
+    rows = [(i, stub_embedding("hot bucket text").tolist()) for i in range(40)]
+    rows += [(100 + j, stub_embedding(f"cold {j}").tolist()) for j in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    capped = S.lsh_topk(emb, k=2, max_bucket=10)
+    assert capped.filter("query_id < 100 or neighbor_id < 100").count() == 0
+    uncapped = S.lsh_topk(emb, k=2, max_bucket=1000)
+    assert uncapped.filter("query_id < 100").count() == 40 * 2
+
+
+def test_ivf_topk_caps_hot_cells(spark):
+    """30 identical vectors overload one IVF cell; at max_cell=10 they
+    are dropped from the candidate side (no neighbor_id among them),
+    while nprobe=2 lets their queries still reach a second cell."""
+    from ctinexus_spark.model import stub_embedding
+    from ctinexus_spark.operators import similarity as S
+
+    rows = [(i, stub_embedding("hot cell text").tolist()) for i in range(30)]
+    rows += [(100 + j, stub_embedding(f"spread {j}").tolist()) for j in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    capped = S.ivf_topk(emb, k=3, max_cell=10)
+    assert capped.filter("neighbor_id < 100").count() == 0
+    uncapped = S.ivf_topk(emb, k=3, max_cell=10_000)
+    assert uncapped.filter("neighbor_id < 100").count() > 0
+
+
+def test_ivf_probe_list_extends_assignment(spark):
+    """The multi-probe list's first entry must equal the ivf_assign
+    cell (same GEMM, same tie rule), and nprobe=2 yields two distinct
+    cells per query."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ctinexus_spark.model import stub_embedding
+    from ctinexus_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, stub_embedding(f"probe {i}").tolist()) for i in range(50)],
+        "vec_id int, embedding array<float>",
+    )
+    cents = np.asarray(S.ivf_centroids(), dtype=np.float64)
+    probed = emb.select(
+        "vec_id", S._probe_udf(cents, 2)(F.col("embedding")).alias("probe_cells")
+    )
+    assign = S.ivf_assign(emb)
+    joined = probed.join(assign, "vec_id").collect()
+    assert len(joined) == 50
+    for r in joined:
+        assert r.probe_cells[0] == r.cell
+        assert len(set(r.probe_cells)) == 2
+
+
 def test_q1_partial_aggregation(spark):
     # map-side combine: HashAggregate below AND above the Exchange
     # (pre-execution AQE explain doesn't render WholeStageCodegen
