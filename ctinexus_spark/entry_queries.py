@@ -476,6 +476,90 @@ FROM eid e JOIN canon c ON e.doc_id = c.doc_id AND e.ckey = c.ckey
 """
 
 
+# --- CC-mode clustering where star-sets and CC genuinely differ ---------
+# A transitive alias chain join~merge~sort: embed_overrides pin
+# cos(join,merge) = cos(merge,sort) = √2/2 ≥ 0.6 while cos(join,sort)
+# = 0 < 0.6 (off-chain Operator-class cosines ≤ 0.36, pinned by
+# tests/test_ea_semantics.py). Connected components (the north_star's
+# §2.5 A5 semantics, ea.py:_clusters_cc) merge all three into ONE
+# entity; the reference's star-sets (graph_constructor.py:394-436)
+# keep overlapping {join,merge} / {join,merge,sort} / {merge,sort}
+# clusters with last-write-wins membership — the SURVEY §7 divergence
+# case. The oracle hash-checks CC mode; the star/CC divergence on the
+# same corpus is pinned by test_ea_semantics.py::test_star_vs_cc_diverge.
+
+CHAIN_TERMS = ("join", "merge", "sort")
+CONFIG_CC = PipelineConfig(lexicon=LEXICON, ea_cluster_mode="cc")
+
+
+def chain_embed_overrides() -> dict[str, list[float]]:
+    """Deterministic chain geometry in the stub embedding space:
+    join = e1, sort = e2 (Gram-Schmidt of its own stub vector against
+    e1), merge = (e1+e2)/√2 — exact cosines (√2/2, √2/2, 0)."""
+    import numpy as np
+
+    from ctinexus_spark.model import stub_embedding
+
+    e1 = stub_embedding("join")
+    v = stub_embedding("sort")
+    e2 = v - float(v @ e1) * e1
+    e2 = e2 / np.linalg.norm(e2)
+    mid = (e1 + e2) / np.sqrt(2.0)
+    return {"join": e1.tolist(), "merge": mid.tolist(), "sort": e2.tolist()}
+
+
+def q_ea_entities_cc(spark, sf_dir):
+    docs = _docs_norm(spark, sf_dir).persist()
+    model = StubModel(CONFIG_CC, embed_overrides=chain_embed_overrides())
+    ie = extract_triples(docs, model).filter("valid")
+    typed = tag_triples(ie, docs, model)
+    nodes = mint_mentions(typed)
+    emb = embed_mentions(nodes, model)
+    aligned = align_entities(nodes, emb, CONFIG_CC)
+    return aligned.select(_doc_id(), "entity_id", "entity_text").distinct()
+
+
+# Oracle: whenever 'merge' is present its component is {merge} ∪
+# ({join} if present) ∪ ({sort} if present); without 'merge' there is
+# no edge, so join/sort stay singletons. Component key = min member
+# mention_id (matches _clusters_cc's discovery order over the sorted
+# group); entity numbering and canonical naming identical to the
+# ea_entities_merged oracle.
+ORACLES["ea_entities_cc"] = _BASE + """
+, mdocs AS (SELECT DISTINCT doc_id FROM ment2 WHERE term = 'merge'),
+chain AS (
+  SELECT m.doc_id, min(m.mention_id) AS ckey
+  FROM ment2 m JOIN mdocs d ON m.doc_id = d.doc_id
+  WHERE m.term IN ('join', 'merge', 'sort')
+  GROUP BY m.doc_id
+),
+clus AS (
+  SELECT m2.doc_id, m2.term, m2.cls, m2.mention_id,
+         COALESCE(CASE WHEN m2.term IN ('join', 'merge', 'sort') THEN ch.ckey END,
+                  m2.mention_id) AS ckey
+  FROM ment2 m2 LEFT JOIN chain ch ON m2.doc_id = ch.doc_id
+),
+canon AS (
+  SELECT doc_id, ckey, term AS canon_term FROM (
+    SELECT c.doc_id, c.ckey, c.term,
+           row_number() OVER (PARTITION BY c.doc_id, c.ckey
+                              ORDER BY d.degree DESC, c.mention_id) AS rn
+    FROM clus c JOIN deg d ON c.doc_id = d.doc_id AND c.term = d.term
+  ) WHERE rn = 1
+),
+clusters AS (
+  SELECT DISTINCT doc_id, cls, ckey FROM clus
+),
+eid AS (
+  SELECT cl.doc_id, cl.ckey,
+         CAST(row_number() OVER (PARTITION BY cl.doc_id ORDER BY f.cfp, cl.ckey) - 1 AS INT) AS entity_id
+  FROM clusters cl JOIN clsfp f ON cl.doc_id = f.doc_id AND cl.cls = f.cls
+)
+SELECT e.doc_id, e.entity_id, c.canon_term AS entity_text
+FROM eid e JOIN canon c ON e.doc_id = c.doc_id AND e.ckey = c.ckey
+"""
+
+
 # --- IOC unmerge (A8-A10) under a DuckDB oracle -------------------------
 # Every document gets two IP literals appended post-normalization; they
 # share the class 'Indicator: IP' and an alias-map cosine ≈ 0.96, so EA
@@ -601,6 +685,7 @@ FROM linkpairs
 QUERIES = {
     "kg_global_entities": q_kg_global_entities,
     "ea_entities_merged": q_ea_entities_merged,
+    "ea_entities_cc": q_ea_entities_cc,
     "ea_ioc_unmerge": q_ea_ioc_unmerge,
     "lp_links_flaky": q_lp_links_flaky,
     "kg_fused": q_kg_fused,

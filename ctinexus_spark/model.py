@@ -106,9 +106,20 @@ def stub_embedding(text: str, dim: int = 64, alias_map: dict[str, str] | None = 
 class StubModel:
     """Deterministic no-network model client (batch interface)."""
 
-    def __init__(self, config: PipelineConfig | None = None, alias_map: dict[str, str] | None = None):
+    def __init__(
+        self,
+        config: PipelineConfig | None = None,
+        alias_map: dict[str, str] | None = None,
+        embed_overrides: dict[str, list[float]] | None = None,
+    ):
         self.config = config or PipelineConfig()
         self.alias_map = alias_map or {}
+        # exact embedding vectors for specific texts (wins over
+        # alias_map) — lets tests pin arbitrary similarity geometry,
+        # e.g. a transitive chain a~b~c with cos(a,c) < threshold
+        self.embed_overrides = {
+            k: np.asarray(v, dtype=np.float64) for k, v in (embed_overrides or {}).items()
+        }
 
     # Each method returns RAW response strings where the reference gets
     # model text, so the JSON-repair path is exercised end-to-end.
@@ -137,7 +148,12 @@ class StubModel:
         if not texts:
             return np.zeros((0, self.config.embedding_dim))
         return np.vstack(
-            [stub_embedding(t, self.config.embedding_dim, self.alias_map) for t in texts]
+            [
+                self.embed_overrides[t]
+                if t in self.embed_overrides
+                else stub_embedding(t, self.config.embedding_dim, self.alias_map)
+                for t in texts
+            ]
         )
 
     def summarize(self, focused_text: str, repair: bool = False) -> str:

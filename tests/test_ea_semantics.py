@@ -111,6 +111,40 @@ class TestMerge:
             assert cc["Alpha"].entity_id == cc["Charlie"].entity_id
 
 
+    def test_star_vs_cc_diverge_on_chain_geometry(self, spark):
+        """The exact geometry of the ea_entities_cc oracle corpus:
+        cos(join,merge) = cos(merge,sort) = √2/2 ≥ 0.6 but
+        cos(join,sort) = 0 < 0.6. CC merges all three into ONE entity
+        (north_star semantics); reference star-sets keep overlapping
+        clusters, so the two modes provably differ on this corpus."""
+        from ctinexus_spark.entry_queries import chain_embed_overrides
+
+        over = chain_embed_overrides()
+        rows = [
+            (URL, 0, "join", "Operator", "r", "merge", "Operator"),
+            (URL, 1, "merge", "Operator", "r", "sort", "Operator"),
+        ]
+
+        def run(mode):
+            cfg = PipelineConfig(ea_cluster_mode=mode)
+            model = StubModel(cfg, embed_overrides=over)
+            nodes = mint_mentions(typed_df(spark, rows))
+            emb = embed_mentions(nodes, model)
+            return by_mention(align_entities(nodes, emb, cfg).collect())
+
+        cc = run("cc")
+        assert cc["join"].entity_id == cc["merge"].entity_id == cc["sort"].entity_id
+        # canonical = frequency argmax: 'merge' occurs twice
+        assert cc["join"].entity_text == "merge"
+
+        star = run("star")
+        # star sets {join,merge} / {join,merge,sort} / {merge,sort} with
+        # last-write-wins: join lands in cluster 1, merge+sort in 2
+        star_ids = {star[m].entity_id for m in ("join", "merge", "sort")}
+        assert len(star_ids) == 2
+        assert star["merge"].entity_id == star["sort"].entity_id != star["join"].entity_id
+
+
 class TestIocUnmerge:
     def test_all_ioc_cluster_unmerges(self, spark):
         # Two IPs forced to merge via alias_map; both are IOCs → split.
