@@ -71,15 +71,25 @@ class StageStore:
         stage: str,
         prior_versions: list[str],
         partition_by: list[str] | None = None,
+        protect: list[str] | None = None,
     ) -> str:
+        """Write df as a new version dir and swap the manifest to
+        [*prior_versions, new]. `protect` names version dirs that are
+        NOT part of the new manifest but must survive this call's
+        garbage collection — the currently-committed snapshot during a
+        re-commit: a crash before the manifest swap must leave every
+        dir the live manifest references readable. Superseded dirs are
+        collected by the NEXT append, after the atomic swap."""
         out = self._dir(stage)
         os.makedirs(out, exist_ok=True)
         # garbage-collect version dirs a previous crash left unreferenced
-        live = set(prior_versions)
+        live = set(prior_versions) | set(protect or ())
         for name in os.listdir(out):
             if name.startswith("v_") and name not in live:
                 shutil.rmtree(os.path.join(out, name), ignore_errors=True)
-        k = 1 + max((int(v[2:]) for v in prior_versions), default=-1)
+        # number past every live dir so the new write can never land on
+        # (and overwrite) a protected snapshot
+        k = 1 + max((int(v[2:]) for v in live), default=-1)
         version = f"v_{k}"
         path = os.path.join(out, version)
         writer = df.write.mode("overwrite")
@@ -90,8 +100,13 @@ class StageStore:
         return path
 
     def commit(self, df: DataFrame, stage: str, partition_by: list[str] | None = None) -> str:
-        """Write a stage output as a fresh single-snapshot commit."""
-        return self._append_version(df, stage, [], partition_by)
+        """Write a stage output as a fresh single-snapshot commit. On a
+        re-commit the previously committed dirs stay on disk (and the
+        old manifest stays valid) until the new snapshot's manifest
+        swap lands; they are garbage-collected by the next append."""
+        manifest = self._read_manifest(stage)
+        existing = manifest["versions"] if manifest else []
+        return self._append_version(df, stage, [], partition_by, protect=existing)
 
     def compact(self, spark: SparkSession, stage: str) -> None:
         """Merge all snapshot versions into one — bounds the file count
@@ -157,8 +172,13 @@ class IcebergStageStore:
     Requires a session configured with an Iceberg catalog
     (`spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog`
     plus the runtime jar) — absent in this sandbox, so callers gate on
-    ``is_available`` and tests skip without it. The dataflow
-    (anti-join resume, append-only commits) is identical to StageStore.
+    ``is_available``. The dataflow (anti-join resume, append-only
+    snapshot commits) is identical to StageStore, and IS tested here:
+    the five catalog primitives below (`_exists/_create/_append/
+    _replace_rows/_read` — exactly the DataFrameWriterV2 surface) are
+    overridable, and tests/test_checkpoint_resume.py runs the full
+    contract against an in-memory fake catalog that records snapshot
+    history.
     """
 
     def __init__(self, spark: SparkSession, catalog: str, namespace: str = "ctinexus"):
@@ -177,20 +197,50 @@ class IcebergStageStore:
     def _table(self, stage: str) -> str:
         return f"{self.catalog}.{self.namespace}.{stage}"
 
-    def is_committed(self, stage: str) -> bool:
-        return self.spark.catalog.tableExists(self._table(stage))
+    # --- catalog primitives (the only methods that touch the catalog) ---
 
-    def commit(self, df: DataFrame, stage: str, partition_by: list[str] | None = None) -> str:
-        writer = df.writeTo(self._table(stage))
+    def _exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(table)
+
+    def _create(self, df: DataFrame, table: str, partition_by: list[str] | None) -> None:
+        writer = df.writeTo(table)
         if partition_by:
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
-        writer.createOrReplace()
-        return self._table(stage)
+        writer.create()
+
+    def _append(self, df: DataFrame, table: str) -> None:
+        df.writeTo(table).append()
+
+    def _replace_rows(self, df: DataFrame, table: str) -> None:
+        # one atomic row-replacing snapshot (Iceberg DELETE+ADD in a
+        # single commit, table metadata and snapshot history preserved)
+        df.writeTo(table).overwrite(F.lit(True))
+
+    def _read(self, table: str) -> DataFrame:
+        return self.spark.read.table(table)
+
+    # --- contract (shared shape with StageStore) ------------------------
+
+    def is_committed(self, stage: str) -> bool:
+        return self._exists(self._table(stage))
+
+    def commit(self, df: DataFrame, stage: str, partition_by: list[str] | None = None) -> str:
+        """Fresh single-snapshot commit. On an existing table this is
+        overwrite(lit(True)) — a NEW snapshot that atomically replaces
+        the rows — not createOrReplace, which rewrites the table
+        metadata itself and broke the append-only snapshot contract
+        (round-2 verdict finding #3)."""
+        t = self._table(stage)
+        if self._exists(t):
+            self._replace_rows(df, t)
+        else:
+            self._create(df, t, partition_by)
+        return t
 
     def load(self, spark: SparkSession, stage: str) -> DataFrame | None:
         if not self.is_committed(stage):
             return None
-        return spark.read.table(self._table(stage))
+        return self._read(self._table(stage))
 
     def remaining(self, spark: SparkSession, inputs: DataFrame, stage: str, key: str = "url") -> DataFrame:
         done = self.load(spark, stage)
@@ -211,7 +261,7 @@ class IcebergStageStore:
         if self.is_committed(stage):
             if todo.isEmpty():
                 return self.load(spark, stage)
-            transform(todo).writeTo(self._table(stage)).append()
+            self._append(transform(todo), self._table(stage))
         else:
             self.commit(transform(todo), stage, partition_by)
         return self.load(spark, stage)

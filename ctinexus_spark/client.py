@@ -64,6 +64,9 @@ def urllib_transport(api_base: str, api_key_env: str = "MODEL_API_KEY", timeout:
         with urllib.request.urlopen(req, timeout=timeout) as resp:
             return json.loads(resp.read().decode("utf-8"))
 
+    # pickling marker: __getstate__ drops ONLY this default transport
+    # (rebuildable from api_base); user-injected callables ship intact
+    send._is_default_transport = True
     return send
 
 
@@ -95,6 +98,7 @@ class HttpModelClient:
         self.lp_relation = lp_relation
         self._transport = transport
         self._pool = None
+        self._usage_lock = None
         self.usage_totals = {
             "input": {"tokens": 0, "cost": 0.0},
             "output": {"tokens": 0, "cost": 0.0},
@@ -106,7 +110,8 @@ class HttpModelClient:
     def __getstate__(self):
         state = dict(self.__dict__)
         state["_pool"] = None
-        if callable(state["_transport"]) and getattr(state["_transport"], "__name__", "") == "send":
+        state["_usage_lock"] = None
+        if getattr(state["_transport"], "_is_default_transport", False):
             state["_transport"] = None  # default transport: rebuild from api_base
         return state
 
@@ -168,11 +173,25 @@ class HttpModelClient:
 
     # --- call machinery ---
 
+    def _ensure_lock(self):
+        """Create the (unpicklable) usage lock on the CALLING thread
+        before any pool fan-out — lazy creation inside _account would
+        itself race between worker threads."""
+        if self._usage_lock is None:
+            import threading
+
+            self._usage_lock = threading.Lock()
+        return self._usage_lock
+
     def _account(self, response: dict) -> None:
         usage = calculate_usage(self.model, response)
-        for bucket in ("input", "output", "total"):
-            self.usage_totals[bucket]["tokens"] += usage[bucket]["tokens"]
-            self.usage_totals[bucket]["cost"] += usage[bucket]["cost"]
+        # _account runs on pool worker threads (_complete_batch fans
+        # out via pool.map); the += read-modify-writes must serialize
+        # or concurrent batches lose token/cost updates
+        with self._ensure_lock():
+            for bucket in ("input", "output", "total"):
+                self.usage_totals[bucket]["tokens"] += usage[bucket]["tokens"]
+                self.usage_totals[bucket]["cost"] += usage[bucket]["cost"]
 
     def _complete_one(self, messages: list[dict]) -> str:
         transport = self._get_transport()
@@ -191,6 +210,7 @@ class HttpModelClient:
         batched-async shape, not a serial per-row round-trip."""
         if not message_lists:
             return []
+        self._ensure_lock()
         pool = self._get_pool()
         return list(pool.map(self._complete_one, message_lists))
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ctinexus_spark.partitioning import barrier
+
 CHECKPOINT_EVERY = 3
 
 
@@ -66,7 +68,7 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
         if (it + 1) % CHECKPOINT_EVERY == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = barrier(new_labels)
         else:
             new_labels = new_labels.persist()
 
@@ -94,6 +96,6 @@ def connected_components(
     # materialize + localCheckpoint so the persisted iteration state can
     # be released now (a returned lazy persist would leak in the cache
     # manager until an unpersist the caller never knows to issue)
-    result = labels.select("vertex", "component").localCheckpoint(eager=True)
+    result = barrier(labels.select("vertex", "component"))
     labels.unpersist()
     return result

@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ctinexus_spark.partitioning import barrier
+
 MINHASH_SEEDS = 8
 BAND_SIZE = 2  # 4 bands of 2 minima each
 
@@ -120,7 +122,7 @@ def lsh_candidates(
     # it computes twice, and an explicit persist would leak in the cache
     # manager with no safe point to unpersist a lazily-consumed result.
     # localCheckpointed blocks are GC-reclaimed once unreferenced.
-    bands = lsh_bands(docs, id_col, text_col).localCheckpoint(eager=True)
+    bands = barrier(lsh_bands(docs, id_col, text_col))
     bands = cap_buckets(bands, ["band_idx", "band_key"], max_bucket)
     a = bands.select(F.col(id_col).alias("a_id"), "band_idx", "band_key")
     b = bands.select(F.col(id_col).alias("b_id"), "band_idx", "band_key")
@@ -247,7 +249,8 @@ def simhash_candidates(
     # without a cache-manager leak
     banded = sh.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
         id_col, "simhash", F.col("c.band_idx").alias("band_idx"), F.col("c.chunk").alias("chunk")
-    ).localCheckpoint(eager=True)
+    )
+    banded = barrier(banded)
 
     a = banded.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sh"), "band_idx", "chunk")
     b = banded.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sh"), "band_idx", "chunk")
@@ -320,7 +323,7 @@ def embedding_near_dups_lsh(
     from ctinexus_spark.operators.similarity import cap_buckets, cosine_udf, lsh_band_buckets
 
     bands = lsh_band_buckets(embeddings, id_col, vec_col, n_bands=n_bands, band_planes=band_planes)
-    bands = cap_buckets(bands, ["band_idx", "bucket"], max_bucket).localCheckpoint(eager=True)
+    bands = barrier(cap_buckets(bands, ["band_idx", "bucket"], max_bucket))
     a = bands.select(F.col(id_col).alias("a_id"), "band_idx", "bucket")
     b = bands.select(F.col(id_col).alias("b_id"), "band_idx", "bucket")
     cand = (

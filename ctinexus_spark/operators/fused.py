@@ -31,6 +31,7 @@ from ctinexus_spark.config import PipelineConfig
 from ctinexus_spark.ioc import detect_iocs
 from ctinexus_spark.jsonrepair import parse_llm_json
 from ctinexus_spark.operators.ea import _clusters_cc, _clusters_star, _cosine_matrix
+from ctinexus_spark.partitioning import barrier
 from ctinexus_spark.validation import valid_ie_triplet, valid_typed_triplet
 
 TYPED_SCHEMA = (
@@ -391,7 +392,7 @@ def fused_kg(docs: DataFrame, model, config: PipelineConfig) -> DataFrame:
     # checkpointed production path gets the same barrier from the
     # stage's parquet/Iceberg commit.)
     typed = extract_and_tag(docs, model)
-    fused = align_graph_triples(typed, model, config).localCheckpoint(eager=True)
+    fused = barrier(align_graph_triples(typed, model, config))
 
     links = link_main_pairs(fused, docs, model)
     predicted = links.filter(F.col("status") == "ok").select(

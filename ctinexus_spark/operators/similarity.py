@@ -421,9 +421,9 @@ def ivf_topk(
     # are GC-reclaimed once unreferenced. The cap sits downstream of
     # the barrier so it is computed once AND stays plan-visible
     # (test_plans.py::test_ann_topk_plans_carry_bucket_cap).
-    from ctinexus_spark.partitioning import ensure_parallelism
+    from ctinexus_spark.partitioning import barrier, ensure_parallelism
 
-    withc = embeddings.join(cellmap, id_col).localCheckpoint(eager=True)
+    withc = barrier(embeddings.join(cellmap, id_col))
     capped = cap_buckets(withc, ["cell"], max_cell)
     probes = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("query_id"),

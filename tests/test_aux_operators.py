@@ -122,3 +122,30 @@ def test_random_demo_retriever_deterministic(spark):
     b = attach_random_demos(docs, [f"d{i}" for i in range(10)], PipelineConfig()).collect()
     assert a[0].demo_ids == b[0].demo_ids
     assert len(a[0].demo_ids) == 3
+
+
+def test_barrier_prefers_reliable_checkpoint_when_dir_set(spark, monkeypatch):
+    """barrier() = localCheckpoint in local mode, but must switch to
+    reliable .checkpoint() when the session has a checkpoint dir (so
+    clustered runs survive executor loss — ADVICE round-2 #4)."""
+    from ctinexus_spark.partitioning import barrier
+
+    df = spark.createDataFrame([(1,)], "x int")
+    cls = type(df)  # Spark 4: the classic DataFrame subclass
+    calls = []
+    monkeypatch.setattr(
+        cls, "checkpoint", lambda self, eager=True: calls.append("reliable") or self
+    )
+    monkeypatch.setattr(
+        cls, "localCheckpoint", lambda self, eager=True: calls.append("local") or self
+    )
+
+    assert spark.sparkContext.getCheckpointDir() is None
+    barrier(df)
+    assert calls == ["local"]
+
+    monkeypatch.setattr(
+        type(spark.sparkContext), "getCheckpointDir", lambda self: "/tmp/ckpt", raising=False
+    )
+    barrier(df)
+    assert calls == ["local", "reliable"]

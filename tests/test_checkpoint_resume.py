@@ -120,19 +120,124 @@ def test_compact_merges_versions_and_preserves_rows(spark, docs, tmp_path):
     }
 
 
-def test_iceberg_store_gated_on_catalog(spark, docs, tmp_path):
-    """IcebergStageStore shares the StageStore contract but requires a
-    configured Iceberg catalog — absent in this sandbox, so the gate
-    must report unavailable (a cluster build flips it by configuring
-    spark.sql.catalog.<name>)."""
+def test_recommit_crash_preserves_previous_snapshot(spark, docs, tmp_path):
+    """Re-committing an already-committed stage must not garbage-
+    collect the live snapshot before the manifest swap: a crash between
+    the new version write and the swap leaves is_committed() true with
+    the OLD data still readable (ADVICE round-2 medium finding)."""
+    store = StageStore(str(tmp_path))
+    first = docs.filter(F.col("url") == "u0")
+    store.commit(first, "s")
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before manifest swap")
+
+    orig = store._write_manifest
+    store._write_manifest = boom
+    second = docs.filter(F.col("url") == "u1")
+    with pytest.raises(RuntimeError):
+        store.commit(second, "s")
+    store._write_manifest = orig
+
+    assert store.is_committed("s")
+    assert [r.url for r in store.load(spark, "s").collect()] == ["u0"]
+
+    # a successful re-commit supersedes cleanly, and the next append
+    # garbage-collects the superseded dirs
+    store.commit(second, "s")
+    assert [r.url for r in store.load(spark, "s").collect()] == ["u1"]
+    final = store.run_stage(spark, "s", docs, lambda d: d)
+    assert final.count() == 10
+
+
+class FakeCatalogStore:
+    """IcebergStageStore over an in-memory catalog: the five
+    DataFrameWriterV2 primitives record snapshot history per table so
+    the contract (append-only snapshots, atomic row-replace on
+    re-commit, O(delta) resume appends) is assertable without the
+    Iceberg runtime jar."""
+
+    def __init__(self, spark):
+        from ctinexus_spark.checkpoint import IcebergStageStore
+
+        self.tables: dict[str, list] = {}  # table -> snapshot list (DataFrames)
+        self.ops: list[tuple[str, str]] = []
+
+        outer = self
+
+        class _Store(IcebergStageStore):
+            def _exists(self, table):
+                return table in outer.tables
+
+            def _create(self, df, table, partition_by):
+                outer.ops.append(("create", table))
+                outer.tables[table] = [df.localCheckpoint(eager=True)]
+
+            def _append(self, df, table):
+                outer.ops.append(("append", table))
+                outer.tables[table].append(df.localCheckpoint(eager=True))
+
+            def _replace_rows(self, df, table):
+                outer.ops.append(("replace_rows", table))
+                # one new snapshot whose visible rows replace all prior
+                # ones — history list keeps growing (Iceberg semantics)
+                outer.tables[table].append(df.localCheckpoint(eager=True))
+                outer.tables[table] = [outer.tables[table][-1]]
+
+            def _read(self, table):
+                from functools import reduce
+
+                return reduce(lambda a, b: a.unionByName(b), outer.tables[table])
+
+        self.store = _Store(spark, "fake")
+
+
+def test_iceberg_contract_resume_appends_delta(spark, docs):
+    fake = FakeCatalogStore(spark)
+    store = fake.store
+    first = docs.filter(F.col("url").isin(*[f"u{i}" for i in range(5)]))
+
+    processed = []
+
+    def transform(df):
+        processed.extend(r.url for r in df.select("url").collect())
+        return df.withColumn("out", F.upper("text"))
+
+    store.run_stage(spark, "s", first, transform)
+    assert [op for op, _ in fake.ops] == ["create"]
+
+    final = store.run_stage(spark, "s", docs, transform)
+    # only the 5 missing urls re-ran, shipped as ONE append snapshot
+    assert sorted(processed)[5:] == [f"u{i}" for i in range(5, 10)]
+    assert [op for op, _ in fake.ops] == ["create", "append"]
+    assert final.count() == 10
+
+    # idempotent: nothing left → no new snapshot
+    processed.clear()
+    store.run_stage(spark, "s", docs, transform)
+    assert processed == []
+    assert [op for op, _ in fake.ops] == ["create", "append"]
+
+
+def test_iceberg_contract_recommit_replaces_rows_not_table(spark, docs):
+    """commit() on an existing table must produce a row-replacing
+    snapshot (overwrite(lit(True))), never a createOrReplace that
+    rewrites table metadata (round-2 verdict finding #3)."""
+    fake = FakeCatalogStore(spark)
+    store = fake.store
+    store.commit(docs.filter(F.col("url") == "u0"), "s")
+    store.commit(docs.filter(F.col("url") == "u1"), "s")
+    assert [op for op, _ in fake.ops] == ["create", "replace_rows"]
+    assert [r.url for r in store.load(spark, "s").collect()] == ["u1"]
+
+
+def test_iceberg_store_gated_on_catalog(spark):
+    """The real-catalog gate must report unavailable in this sandbox
+    (a cluster build flips it by configuring spark.sql.catalog.<name>
+    with the Iceberg runtime jar)."""
     from ctinexus_spark.checkpoint import IcebergStageStore
 
     assert not IcebergStageStore.is_available(spark, "iceberg")
-    if not IcebergStageStore.is_available(spark, "iceberg"):
-        pytest.skip("no Iceberg catalog configured in this sandbox")
-    # contract smoke (runs only on a catalog-enabled cluster)
-    store = IcebergStageStore(spark, "iceberg")
-    store.run_stage(spark, "s", docs, lambda d: d)
 
 
 def test_lineage_columns(spark, docs):
