@@ -228,3 +228,57 @@ def test_pipeline_through_http_adapter_matches_stub(spark):
     kg_stub = {(r.url, r.subj, r.pred, r.obj, r.source)
                for r in fused_kg(docs, StubModel(eq.CONFIG), eq.CONFIG).collect()}
     assert kg_http == kg_stub and kg_http
+
+
+def test_pipeline_default_transport_over_real_http(spark):
+    """The executor-side lifecycle no other test touches: a client
+    built with the DEFAULT urllib transport pickles into Spark workers
+    with transport=None (client.__getstate__), each worker process
+    rebuilds transport + thread pool lazily and issues REAL HTTP to an
+    in-process server. fused_kg over 50 docs must be bit-identical to
+    the StubModel run (round-2 verdict next-step #7)."""
+    import http.server
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from ctinexus_spark.operators.fused import fused_kg
+    from ctinexus_spark.operators.normalize import normalize_documents
+
+    answer = FakeLLMTransport(lexicon=eq.LEXICON)._answer
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            payload = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            payload["_endpoint"] = self.path.removeprefix("/v1")
+            body = json.dumps(answer(payload)).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        raw = eq.load_documents(spark, "/root/testdata/sf0.001").filter(
+            F.col("url").cast("int") < 50
+        )
+        docs = normalize_documents(raw, lang_filter=None)
+        client = HttpModelClient(
+            model="test-model",
+            api_base=f"http://127.0.0.1:{server.server_address[1]}/v1",
+            max_concurrency=4,
+        )
+        assert getattr(client._get_transport(), "_is_default_transport", False)
+        kg_http = {(r.url, r.subj, r.pred, r.obj, r.source)
+                   for r in fused_kg(docs, client, eq.CONFIG).collect()}
+        kg_stub = {(r.url, r.subj, r.pred, r.obj, r.source)
+                   for r in fused_kg(docs, StubModel(eq.CONFIG), eq.CONFIG).collect()}
+        assert kg_http == kg_stub and kg_http
+    finally:
+        server.shutdown()
+        server.server_close()
