@@ -476,6 +476,48 @@ FROM eid e JOIN canon c ON e.doc_id = c.doc_id AND e.ckey = c.ckey
 """
 
 
+# --- kNN demonstration retrieval (I3/I4) under a pinned-fixture oracle --
+# TF-IDF math (sklearn-default token pattern, smooth idf, l2 norm —
+# tfidf.py) is not expressible in DuckDB SQL, so the oracle is a
+# PINNED FIXTURE: the expected top-3 demo ids per sf0.01 document,
+# generated once from the 148-demo reference corpus
+# (llm_processor.py:1309-1353) and cross-verified against an
+# independent Counter/math.log TF-IDF implementation (0 mismatches on
+# all 500 docs). The Spark side runs the REAL attach_demos machinery;
+# the fixture hash-check catches any retrieval regression.
+
+
+def q_ie_demo_topk(spark, sf_dir):
+    from ctinexus_spark.demos import load_demo_corpus
+    from ctinexus_spark.operators.ie import attach_demos
+
+    ids, texts, _ = load_demo_corpus()
+    docs = _docs_norm(spark, sf_dir)
+    out = attach_demos(docs, texts, ids, CONFIG)
+    return out.select(_doc_id(), F.posexplode("demo_ids").alias("rank", "demo_id"))
+
+
+def _demo_topk_oracle_sql() -> str:
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "demo_topk_sf001.json")
+    with open(path, encoding="utf-8") as f:
+        fixture = json.load(f)
+    vals = ",\n".join(
+        f"({doc_id}, {r}, '{demo.replace(chr(39), chr(39) * 2)}')"
+        for doc_id, demos in sorted(fixture.items(), key=lambda kv: int(kv[0]))
+        for r, demo in enumerate(demos)
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS INT) AS rank, demo_id
+FROM (VALUES {vals}) t(doc_id, rank, demo_id)
+"""
+
+
+ORACLES["ie_demo_topk"] = _demo_topk_oracle_sql()
+
+
 # --- CC-mode clustering where star-sets and CC genuinely differ ---------
 # A transitive alias chain join~merge~sort: embed_overrides pin
 # cos(join,merge) = cos(merge,sort) = √2/2 ≥ 0.6 while cos(join,sort)
@@ -686,6 +728,7 @@ QUERIES = {
     "kg_global_entities": q_kg_global_entities,
     "ea_entities_merged": q_ea_entities_merged,
     "ea_entities_cc": q_ea_entities_cc,
+    "ie_demo_topk": q_ie_demo_topk,
     "ea_ioc_unmerge": q_ea_ioc_unmerge,
     "lp_links_flaky": q_lp_links_flaky,
     "kg_fused": q_kg_fused,

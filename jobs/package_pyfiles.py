@@ -18,7 +18,7 @@ def main() -> str:
             if "__pycache__" in root:
                 continue
             for f in files:
-                if f.endswith(".py"):
+                if f.endswith((".py", ".json")):  # code + pinned fixtures
                     full = os.path.join(root, f)
                     zf.write(full, os.path.relpath(full, REPO))
     print(out)
