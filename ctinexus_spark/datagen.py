@@ -36,8 +36,15 @@ def synthesize_documents(
     frac_null_text: float = 0.01,
     frac_non_english: float = 0.02,
     frac_dup_url: float = 0.005,
+    hot_frac: float | None = None,
 ) -> DataFrame:
-    """(url, warc_ts, html, text, lang) with hot-domain skew."""
+    """(url, warc_ts, html, text, lang) with hot-domain skew.
+
+    hot_frac overrides the default zipf-ish layout: exactly that
+    fraction of docs lands on domain 0 (the hot-domain scenario the
+    north_rule names), the rest spread uniformly over the remaining
+    domains. hot_frac=0.0 gives a fully uniform layout — the control
+    corpus for skew benchmarks (same texts, different domain map)."""
     import hashlib
 
     def h(i: int, tag: str) -> int:
@@ -67,7 +74,12 @@ def synthesize_documents(
         # heavy-tail domain pick: u² concentration → P(domain d) ≈
         # 1/(2·sqrt(d·N)), head domain ~14x the tail
         u = (h(i, "dom") % 1_000_000) / 1_000_000
-        domain = int(N_DOMAINS * u * u)
+        if hot_frac is None:
+            domain = int(N_DOMAINS * u * u)
+        elif u < hot_frac:
+            domain = 0
+        else:
+            domain = 1 + int((N_DOMAINS - 1) * (u - hot_frac) / (1 - hot_frac))
         dup = (h(i, "dup") % 1_000_000) < frac_dup_url * 1_000_000
         url_i = i - 1 if dup and i else i
         url = f"https://feeds{domain}.example.com/report/{url_i}"

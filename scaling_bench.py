@@ -67,6 +67,20 @@ def run_one(cores: int, reps: int) -> None:
     }))
 
 
+def run_skew() -> None:
+    """Hot-domain skew evidence (north_rule): fused pipeline on a 30%-
+    hot-domain corpus vs the uniform control — same protocol as
+    bench.py's skew block, in a fresh process at local[32]."""
+    from bench import _skew_evidence
+
+    from ctinexus_spark.session import build_session
+
+    spark = build_session(master="local[32]", shuffle_partitions=32, app_name="skew-evidence")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(_skew_evidence(spark)))
+    spark.stop()
+
+
 def _burn(_):
     x = 0
     for i in range(2 * 10**7):
@@ -100,6 +114,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--one":
         run_one(int(sys.argv[2]), int(sys.argv[3]))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        run_skew()
+        return
 
     # (N, 4N, corpus reps) — reps sized so each level runs minutes-not-
     # hours while compute dominates fixed overhead.
@@ -118,6 +135,14 @@ def main() -> None:
             results[cores] = json.loads(line)
             print(line, file=sys.stderr)
 
+    skew_out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--skew"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    skew = json.loads([ln for ln in skew_out.stdout.splitlines() if ln.startswith("{")][-1])
+    print(json.dumps({"skew": skew}), file=sys.stderr)
+
     hw = _hw_baseline()
     hw_by_n = {r["procs"]: r["aggregate_speedup"] for r in hw}
 
@@ -128,7 +153,7 @@ def main() -> None:
         )
     summary = {"metric": "scaling_efficiency_1_to_4", "value": effs["1_to_4"],
                "unit": "ratio", "efficiencies": effs, "runs": results,
-               "hw_baseline": hw, "sf_dir": SF_DIR}
+               "hw_baseline": hw, "skew": skew, "sf_dir": SF_DIR}
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -183,6 +208,25 @@ def main() -> None:
         "url-partitioned map/shuffle work with no driver-side loops, so",
         "on a real N→4N *machine* scale-out (no shared-cycle cap) the",
         "1 → 4 behavior is the representative one.",
+        "",
+        "## Hot-domain skew\n",
+        "north_rule: \"Skew from hot domains is handled with salted",
+        "repartitioning and AQE skew-join splitting.\" Evidence: the full",
+        "fused pipeline on two 5,000-doc corpora with IDENTICAL texts —",
+        "30% of documents on ONE hot domain vs a uniform layout — warm",
+        "median-of-3 each, fresh process, local[32]:\n",
+        "| corpus | wall (s, warm median) |",
+        "|---|---|",
+        f"| hot domain (30% of docs) | {skew['kg_skewed_sec']} |",
+        f"| uniform control | {skew['kg_uniform_sec']} |",
+        f"\n**ratio = {skew['ratio']}** (target ≤ ~1.3). Why it holds by",
+        "construction: the fused plan's only data shuffle keys on url",
+        "(unique per document), so hash partitioning spreads a hot",
+        "domain's documents across all tasks regardless of the domain",
+        "distribution; AQE skew-join splitting (session.py) covers the",
+        "join side, and domain-KEYED aggregations route through",
+        "skew.salted_agg's two-phase plan (pinned by tests in",
+        "tests/test_graph_and_skew.py).",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

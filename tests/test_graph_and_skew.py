@@ -74,6 +74,28 @@ class TestDatagen:
         assert "fr" in langs
         assert docs.filter("text IS NULL AND html IS NOT NULL").count() > 0
 
+    def test_hot_frac_layouts(self, spark):
+        """hot_frac pins the hot-domain mass exactly (30% → domain 0)
+        while hot_frac=0 spreads uniformly — the two bench corpora."""
+        def domain_counts(docs):
+            rows = (
+                docs.withColumn("domain", F.regexp_extract("url", r"https://([^/]+)/", 1))
+                .groupBy("domain").count().collect()
+            )
+            return {r.domain: r["count"] for r in rows}
+
+        hot = domain_counts(synthesize_documents(spark, n_docs=1000, hot_frac=0.30))
+        frac0 = hot.get("feeds0.example.com", 0) / 1000
+        assert 0.25 <= frac0 <= 0.35
+        uni = domain_counts(synthesize_documents(spark, n_docs=1000, hot_frac=0.0))
+        assert max(uni.values()) <= 3 * (1000 / len(uni))
+        # identical texts under both layouts (only the domain map moves)
+        t_hot = sorted(r.text for r in synthesize_documents(spark, n_docs=100, hot_frac=0.30)
+                       .select("text").collect() if r.text)
+        t_uni = sorted(r.text for r in synthesize_documents(spark, n_docs=100, hot_frac=0.0)
+                       .select("text").collect() if r.text)
+        assert t_hot == t_uni
+
     def test_cti_pipeline_end_to_end_on_synthetic(self, spark):
         cfg = PipelineConfig()  # CTI mode: IOC-regex stub extraction
         docs = normalize_documents(synthesize_documents(spark, n_docs=60), lang_filter="en")
