@@ -4,7 +4,8 @@ oracle twins (extends entry_queries; merged by __spark_entry__).
 Families:
 - text analysis : token stats, quality scores, lang features,
                   fingerprints, BPE-piece estimates, winnowing
-                  rolling-hash fingerprints (operators/textops.py)
+                  rolling-hash fingerprints, Gopher quality rules +
+                  repetition filters (operators/textops.py)
 - dedup         : exact, MinHash signatures, LSH bands/candidates
                   (bucket-capped), candidate-gated n-gram Jaccard,
                   SimHash + hamming bands, LSH-gated embedding
@@ -74,6 +75,14 @@ def q_winnow_fp(spark, sf_dir):
 
 
 # --- dedup --------------------------------------------------------------
+
+
+def q_gopher_rules(spark, sf_dir):
+    return T.gopher_rules(_docs(spark, sf_dir))
+
+
+def q_repetition_ratios(spark, sf_dir):
+    return T.repetition_ratios(_docs(spark, sf_dir))
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -468,6 +477,46 @@ SELECT doc_id,
          / CAST(len({_TOKS}) AS DOUBLE) AS distinct_ratio
 FROM documents
 """,
+    "gopher_rules": f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_words,
+       CAST(length(text) - (len({_TOKS}) - 1) AS DOUBLE) / len({_TOKS}) AS mean_word_len,
+       CAST(len(list_filter({_TOKS}, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         / len({_TOKS}) AS frac_words_alpha,
+       CAST(len(list_intersect(list_distinct(list_transform({_TOKS}, w -> lower(w))),
+                ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+         AS required_stop_hits,
+       CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS DOUBLE)
+         / len({_TOKS}) AS symbol_ratio,
+       (len({_TOKS}) >= 50 AND len({_TOKS}) <= 100000
+        AND CAST(length(text) - (len({_TOKS}) - 1) AS DOUBLE) / len({_TOKS}) >= 3.0
+        AND CAST(length(text) - (len({_TOKS}) - 1) AS DOUBLE) / len({_TOKS}) <= 10.0
+        AND CAST(len(list_filter({_TOKS}, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+              / len({_TOKS}) >= 0.8
+        AND len(list_intersect(list_distinct(list_transform({_TOKS}, w -> lower(w))),
+                ['the','be','to','of','and','that','have','with'])) >= 2
+        AND CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS DOUBLE)
+              / len({_TOKS}) <= 0.1) AS passes_gopher
+FROM documents
+""",
+    "repetition_ratios": f"""
+WITH words AS (SELECT doc_id, unnest({_TOKS}) AS gram FROM documents),
+wc AS (SELECT doc_id, gram, count(*) AS c FROM words GROUP BY doc_id, gram),
+wtop AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_word_frac
+         FROM wc GROUP BY doc_id),
+bigr AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len({_TOKS}) >= 2 THEN
+      list_transform(range(1, len({_TOKS})), i -> {_TOKS}[i] || ' ' || {_TOKS}[i + 1])
+    ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM documents
+),
+bc AS (SELECT doc_id, gram, count(*) AS c FROM bigr GROUP BY doc_id, gram),
+btop AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+         FROM bc GROUP BY doc_id)
+SELECT w.doc_id, w.top_word_frac, b.top_bigram_frac
+FROM wtop w JOIN btop b ON w.doc_id = b.doc_id
+""",
     "lang_features": f"""
 SELECT doc_id,
        CAST(len(list_filter({_TOKS}, w -> lower(w) IN ({_STOPS}))) AS DOUBLE)
@@ -856,6 +905,8 @@ QUERIES = {
     "token_stats": q_token_stats,
     "quality": q_quality,
     "lang_features": q_lang_features,
+    "gopher_rules": q_gopher_rules,
+    "repetition_ratios": q_repetition_ratios,
     "fingerprints": q_fingerprints,
     "bpe_tokens": q_bpe_tokens,
     "winnow_fp": q_winnow_fp,

@@ -116,6 +116,92 @@ def winnowed_fingerprints(
     )
 
 
+# Gopher quality-rule constants (public: Rae et al. 2021, "Scaling
+# Language Models" §A1.1 — the standard web-corpus document filters).
+GOPHER_REQUIRED_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+
+
+def gopher_rules(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher document-quality rules, fully JVM-side (codegen):
+    word count bounds, mean word length bounds, fraction of words
+    containing an alphabetic character, presence of ≥2 required
+    English stopwords, #/ellipsis symbol ratio — plus the combined
+    passes_gopher flag. Set/count expressions only (no float folds),
+    so both engines agree bit-for-bit."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    nd = n.cast("double")
+    tok_chars = (F.length(text_col) - (n - F.lit(1))).cast("double")
+    mean_len = tok_chars / nd
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast("double") / nd
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPS])
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(F.transform(toks, F.lower)), req)
+    )
+    symbols = (
+        F.length(text_col)
+        - F.length(F.regexp_replace(F.col(text_col), "[#…]", ""))
+    ).cast("double")
+    sym_ratio = symbols / nd
+    passes = (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (alpha >= GOPHER_MIN_ALPHA_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+        & (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+    )
+    return docs.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha.alias("frac_words_alpha"),
+        stop_hits.cast("bigint").alias("required_stop_hits"),
+        sym_ratio.alias("symbol_ratio"),
+        passes.alias("passes_gopher"),
+    )
+
+
+def repetition_ratios(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher repetition filters: fraction of tokens taken by the most
+    common word / most common bigram. Shaped as explode → two-level
+    aggregation (map-side partial combine on (doc, gram), then a tiny
+    per-doc rollup) — the scale form; an aggregate() HOF over
+    array_distinct would be O(n·distinct) interpreted per row."""
+    toks = _tokens(text_col)
+    words = docs.select(F.col(id_col), F.explode(toks).alias("gram"))
+    bigrams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+
+    def top_frac(grams: DataFrame, out: str) -> DataFrame:
+        counts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+        return counts.groupBy(id_col).agg(
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias(out)
+        )
+
+    return top_frac(words, "top_word_frac").join(
+        top_frac(bigrams, "top_bigram_frac"), id_col
+    )
+
+
 def lang_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Language-ID heuristic features: English stopword hit-rate and
     ascii-letter ratio. (A full lang-id model would be a broadcast

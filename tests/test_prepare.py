@@ -56,3 +56,37 @@ def test_winnowing_shared_run_shares_fingerprint(spark):
     assert by_doc[1] & by_doc[2]
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_gopher_rules_flags(spark):
+    """Each Gopher rule fails on a purpose-built doc; a compliant doc
+    passes (thresholds from the public Gopher paper A1.1)."""
+    from ctinexus_spark.operators.textops import gopher_rules
+
+    good = "the quick brown fox jumps over that lazy dog and then " * 6  # 66 words, stopword-rich
+    rows = [
+        (1, good.strip()),
+        (2, "too short to pass the word count and that is all"),  # < 50 words
+        (3, ("aa " * 60).strip()),  # mean word len 2 < 3, no required stops
+        (4, ("#### " * 60).strip()),  # symbols, no alpha
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert got[1].passes_gopher
+    assert got[1].required_stop_hits >= 2 and got[1].frac_words_alpha == 1.0
+    assert not got[2].passes_gopher  # word count
+    assert not got[3].passes_gopher  # mean word length + stopwords
+    assert not got[4].passes_gopher and got[4].frac_words_alpha == 0.0
+
+
+def test_repetition_ratios(spark):
+    from ctinexus_spark.operators.textops import repetition_ratios
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "x y x y x")], "doc_id int, text string"
+    )
+    got = {r.doc_id: r for r in repetition_ratios(docs).collect()}
+    assert got[1].top_word_frac == 4 / 5
+    assert got[1].top_bigram_frac == 3 / 4  # "a a" x3 of 4 bigrams
+    assert got[2].top_word_frac == 3 / 5
+    assert got[2].top_bigram_frac == 2 / 4  # "x y" x2
