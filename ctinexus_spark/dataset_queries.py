@@ -127,6 +127,18 @@ def q_dedup_clusters_cc(spark, sf_dir):
     return connected_components(edges, "a_id", "b_id")
 
 
+def q_dedup_clusters_stars(spark, sf_dir):
+    """Same duplicate-cluster semantics as dedup_clusters_cc through
+    the large-star/small-star algorithm (O(log² n) rounds, diameter-
+    independent) — shares the recursive-CTE transitive-closure oracle,
+    which is exactly the point: two distributed algorithms, one
+    fixpoint."""
+    from ctinexus_spark.graph.components import connected_components_stars
+
+    edges = D.lsh_candidates(_docs(spark, sf_dir))
+    return connected_components_stars(edges, "a_id", "b_id")
+
+
 def q_dedup_keeplist(spark, sf_dir):
     return D.dedup_keep_list(_docs(spark, sf_dir))
 
@@ -918,6 +930,7 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_candidates": q_simhash_candidates,
     "dedup_clusters_cc": q_dedup_clusters_cc,
+    "dedup_clusters_stars": q_dedup_clusters_stars,
     "dedup_keeplist": q_dedup_keeplist,
     "emb_cosine_pairs": q_emb_cosine_pairs,
     "ann_topk": q_ann_topk,
@@ -938,6 +951,8 @@ QUERIES = {
     "event_sessions": q_event_sessions,
     "event_type_rollup": q_event_type_rollup,
 }
+
+ORACLES["dedup_clusters_stars"] = ORACLES["dedup_clusters_cc"]
 
 # headline bench additions (scale-path variants only)
 BENCH_QUERIES = {

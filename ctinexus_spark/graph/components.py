@@ -7,14 +7,23 @@ connectedComponents would serve — e.g. global entity resolution over
 similarity edges spanning the whole corpus — without the GraphFrames
 dependency (not installable here).
 
-Algorithm: iterative minimum-label propagation ("hash-to-min"):
-  label(v) ← min(label(v), min over neighbors(label(n)))
-repeated until no label changes. Each round is one join + one
-aggregation; convergence needs O(diameter) rounds (large-diameter
-graphs: switch to doubling variants). localCheckpoint() every
-CHECKPOINT_EVERY rounds truncates the lineage — without it the plan
-doubles per iteration and the job dies long before the data does
-(SURVEY.md §7 hard-parts note).
+Two algorithms, chosen by graph shape:
+
+- `connected_components` — iterative minimum-label propagation
+  ("hash-to-min"): label(v) ← min(label(v), min over neighbors).
+  One join + one aggregation per round, O(diameter) rounds. The
+  right default for dedup/alias graphs (shallow components, tiny
+  diameter).
+- `connected_components_stars` — alternating large-star/small-star
+  (Kiveris et al. 2014, "Connected Components in MapReduce and
+  Beyond"): converges in O(log² n) rounds INDEPENDENT of diameter —
+  the variant for adversarial long-chain graphs (linked-list-shaped
+  near-dup chains) where O(diameter) rounds blow the budget.
+
+Both truncate lineage periodically via barrier() — without it the
+plan doubles per iteration and the job dies long before the data
+does (SURVEY.md §7 hard-parts note) — and RAISE on non-convergence
+rather than silently returning wrong components.
 """
 
 from __future__ import annotations
@@ -98,4 +107,87 @@ def connected_components(
     # manager until an unpersist the caller never knows to issue)
     result = barrier(labels.select("vertex", "component"))
     labels.unpersist()
+    return result
+
+
+def connected_components_stars(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Large-star/small-star connected components — same contract as
+    connected_components (vertex, component=min reachable id), but
+    O(log² n) rounds regardless of graph diameter.
+
+    Per round (edges kept canonical u > v, deduped):
+    - large-star: every vertex u links its LARGER neighbors to
+      m = min(N(u) ∪ {u}) — long chains fold toward local minima.
+    - small-star: every vertex u links its smaller neighbors and
+      itself to m = min(N(u)) — stars flatten to depth 1.
+    The fixpoint is a star per component centered on its minimum;
+    a converged round reproduces its input edge set exactly, which is
+    the (checked) termination condition."""
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    vertices = (
+        raw.select(F.col("u").alias("vertex"))
+        .unionByName(raw.select(F.col("v").alias("vertex")))
+        .distinct()
+        .persist()
+    )
+    e = barrier(
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+
+    converged = False
+    for _ in range(max_iterations):
+        # large-star over the symmetric view
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("mn"), F.col("u"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            # v > u ≥ m, so (v, m) is already canonical
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .distinct()
+        )
+        # small-star on the down-directed canonical edges
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        out_u = mins2.select(F.col("u"), F.col("m").alias("v"))
+        out_v = (
+            large.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            # v > m (m is the group minimum), so (v, m) is canonical
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        new_e = barrier(out_u.unionByName(out_v).distinct())
+
+        same = (
+            new_e.join(e, ["u", "v"], "left_anti").limit(1).count() == 0
+            and e.join(new_e, ["u", "v"], "left_anti").limit(1).count() == 0
+        )
+        e = new_e
+        if same:
+            converged = True
+            break
+
+    if not converged:
+        vertices.unpersist()
+        raise RuntimeError(
+            f"connected_components_stars did not converge in {max_iterations} "
+            "rounds — unexpected for O(log² n) convergence; check the edge data"
+        )
+    # converged edges are (member, component_min) stars; vertices not
+    # appearing as a member (component minima, isolated/self-loop
+    # vertices) label themselves
+    stars = e.select(F.col("u").alias("vertex"), F.col("v").alias("component"))
+    result = barrier(
+        vertices.join(stars, "vertex", "left").select(
+            "vertex", F.coalesce("component", "vertex").alias("component")
+        )
+    )
+    vertices.unpersist()
     return result

@@ -40,6 +40,53 @@ class TestConnectedComponents:
         assert got["akira_v2"] == "akira"
 
 
+class TestStarsComponents:
+    """connected_components_stars: O(log² n) rounds regardless of
+    diameter (Kiveris et al. large-star/small-star)."""
+
+    def test_matches_minlabel_on_random_graph(self, spark):
+        import random
+
+        from ctinexus_spark.graph.components import connected_components_stars
+
+        rng = random.Random(7)
+        edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        a = {r.vertex: r.component for r in connected_components(df).collect()}
+        b = {r.vertex: r.component for r in connected_components_stars(df).collect()}
+        assert a == b and a
+
+    def test_long_chain_beyond_minlabel_budget(self, spark):
+        """A 121-vertex path: min-label needs ~120 rounds (raises at
+        its 50-round budget); the star algorithm converges within its
+        25-round default because folding is logarithmic in n."""
+        import pytest
+
+        from ctinexus_spark.graph.components import connected_components_stars
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(120)], "src bigint, dst bigint"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_iterations=20)
+        got = {r.vertex: r.component for r in connected_components_stars(edges).collect()}
+        assert set(got.values()) == {0}
+        assert len(got) == 121
+
+    def test_string_vertices_and_self_loops(self, spark):
+        from ctinexus_spark.graph.components import connected_components_stars
+
+        edges = spark.createDataFrame(
+            [("apt29", "cozy bear"), ("cozy bear", "the dukes"),
+             ("akira", "akira_v2"), ("lone", "lone")],
+            "src string, dst string",
+        )
+        got = {r.vertex: r.component for r in connected_components_stars(edges).collect()}
+        assert got["the dukes"] == "apt29"
+        assert got["akira_v2"] == "akira"
+        assert got["lone"] == "lone"
+
+
 class TestSkew:
     def test_salt_range_and_determinism(self, spark):
         df = spark.createDataFrame([(f"u{i}",) for i in range(100)], "url string")
