@@ -85,6 +85,22 @@ def q_repetition_ratios(spark, sf_dir):
     return T.repetition_ratios(_docs(spark, sf_dir))
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrub over documents with deterministic synthesized PII
+    appended (the driver corpus carries none): email + IPv4 + SSN per
+    doc, so placeholders and counts are value-rich under the oracle."""
+    d = F.col("doc_id").cast("string")
+    suffix = F.concat(
+        F.lit(" contact intruder"), d, F.lit("@malicious-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com from 10."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".0.9 ref 123-45-6789"),
+    )
+    docs = _docs(spark, sf_dir).withColumn("text", F.concat(F.col("text"), suffix))
+    return T.redact_pii(docs)
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_duplicates(_docs(spark, sf_dir))
 
@@ -529,6 +545,16 @@ btop AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_b
 SELECT w.doc_id, w.top_word_frac, b.top_bigram_frac
 FROM wtop w JOIN btop b ON w.doc_id = b.doc_id
 """,
+    "redact_pii": r"""
+WITH aug AS (SELECT doc_id, text || ' contact intruder' || CAST(doc_id AS VARCHAR) || '@malicious-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com from 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.9 ref 123-45-6789' AS text FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, $$[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$$, '<EMAIL>', 'g'), $$\b(?:\d{1,3}\.){3}\d{1,3}\b$$, '<IP>', 'g'), $$\+\d{1,3}[ -]\d{2,4}[ -]\d{3,4}[ -]\d{3,4}$$, '<PHONE>', 'g'), $$\b\d{3}-\d{2}-\d{4}\b$$, '<SSN>', 'g') AS redacted_text,
+       CAST(len(regexp_extract_all(text, $$[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$$)) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, $$\b(?:\d{1,3}\.){3}\d{1,3}\b$$)) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, $$\+\d{1,3}[ -]\d{2,4}[ -]\d{3,4}[ -]\d{3,4}$$)) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, $$\b\d{3}-\d{2}-\d{4}\b$$)) AS BIGINT) AS n_ssn
+FROM aug
+""",
     "lang_features": f"""
 SELECT doc_id,
        CAST(len(list_filter({_TOKS}, w -> lower(w) IN ({_STOPS}))) AS DOUBLE)
@@ -919,6 +945,7 @@ QUERIES = {
     "lang_features": q_lang_features,
     "gopher_rules": q_gopher_rules,
     "repetition_ratios": q_repetition_ratios,
+    "redact_pii": q_redact_pii,
     "fingerprints": q_fingerprints,
     "bpe_tokens": q_bpe_tokens,
     "winnow_fp": q_winnow_fp,
@@ -963,6 +990,7 @@ BENCH_QUERIES = {
     "emb_neardup_lsh": q_emb_cosine_pairs,
     "ann_lsh_topk": q_lsh_topk,
     "text_quality": q_quality,
+    "text_gopher": q_gopher_rules,
     "text_winnow_fp": q_winnow_fp,
     "tpch_q1": q_tpch_q1,
 }

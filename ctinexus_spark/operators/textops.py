@@ -202,6 +202,37 @@ def repetition_ratios(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+# PII scrub patterns — RE2-safe (no lookaround) so Spark's Java regex
+# and DuckDB's RE2 agree exactly; ordered so earlier placeholders are
+# not re-matched by later patterns.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[ -]\d{2,4}[ -]\d{3,4}[ -]\d{3,4}", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, redacted_text, n_email, n_ipv4, n_phone, n_ssn) — the
+    training-data PII scrub: global regexp replacement with typed
+    placeholders plus per-pattern hit counts, all JVM-side codegen.
+    Counts come from the pre-redaction text so overlapping patterns
+    report what each one saw."""
+    cols = [F.col(id_col)]
+    redacted = F.col(text_col)
+    for name, rx, placeholder in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, rx, placeholder)
+    cols.append(redacted.alias("redacted_text"))
+    for name, rx, _ in PII_PATTERNS:
+        cols.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(rx), 0))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+    return docs.select(*cols)
+
+
 def lang_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Language-ID heuristic features: English stopword hit-rate and
     ascii-letter ratio. (A full lang-id model would be a broadcast

@@ -90,3 +90,22 @@ def test_repetition_ratios(spark):
     assert got[1].top_bigram_frac == 3 / 4  # "a a" x3 of 4 bigrams
     assert got[2].top_word_frac == 3 / 5
     assert got[2].top_bigram_frac == 2 / 4  # "x y" x2
+
+
+def test_redact_pii(spark):
+    from ctinexus_spark.operators.textops import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail bob@corp.example.com or call +1 555-0100-999 from 10.1.2.3 ssn 123-45-6789"),
+         (2, "clean text with no identifiers at all")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    r = got[1]
+    assert "<EMAIL>" in r.redacted_text and "<IP>" in r.redacted_text
+    assert "<PHONE>" in r.redacted_text and "<SSN>" in r.redacted_text
+    assert "bob@" not in r.redacted_text and "10.1.2.3" not in r.redacted_text
+    assert (r.n_email, r.n_ipv4, r.n_phone, r.n_ssn) == (1, 1, 1, 1)
+    c = got[2]
+    assert c.redacted_text == "clean text with no identifiers at all"
+    assert (c.n_email, c.n_ipv4, c.n_phone, c.n_ssn) == (0, 0, 0, 0)
