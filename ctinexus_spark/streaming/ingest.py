@@ -109,6 +109,83 @@ def stream_dedup(docs: DataFrame, id_col: str = "url", text_col: str = "text") -
     )
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start_ts timestamp, last_ts timestamp, n bigint"
+
+
+def stream_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time sessionization over a streaming (user_id, ts) source
+    — the custom stateful operator the batch event_sessions query
+    shapes, expressed with applyInPandasWithState + EventTimeTimeout:
+
+    - events extend the user's open session while gaps stay ≤ gap; an
+      in-batch gap > gap closes the earlier session immediately
+    - the open session closes when the WATERMARK passes
+      last_ts + gap (state timeout) — the streaming-correct "no more
+      events can reach this session" condition, which foreachBatch
+      cannot express (state and timeouts outlive the batch)
+
+    State per user: (session_start, last_ts, n_events) — constant
+    size, evicted on timeout; scales to any user cardinality as a
+    keyed state store partitioned by user_id."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            return iter([pd.DataFrame([
+                {"user_id": key[0], "session_start": start,
+                 "session_end": last, "n_events": n}
+            ])])
+        rows = pd.concat(list(pdfs)).sort_values("ts", kind="stable")
+        closed = []
+        if state.exists:
+            start, last, n = state.get
+            start, last = pd.Timestamp(start), pd.Timestamp(last)
+        else:
+            start = last = None
+            n = 0
+        for ts in rows["ts"]:
+            if last is not None and (ts - last).value // 10**6 > gap_ms:
+                closed.append({"user_id": key[0], "session_start": start,
+                               "session_end": last, "n_events": n})
+                start, n = None, 0
+            if start is None:
+                start = ts
+            last = ts
+            n += 1
+        state.update((start.to_pydatetime(), last.to_pydatetime(), int(n)))
+        # naive timestamps are session-TZ UTC: epoch from .value, not
+        # .timestamp() (which would assume the host's local zone).
+        # Timeout must sit above the current watermark or Spark rejects
+        # it — a session already beyond its gap times out next batch.
+        last_ms = pd.Timestamp(last).value // 10**6
+        state.setTimeoutTimestamp(max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1))
+        return iter([pd.DataFrame(closed)]) if closed else iter(())
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "10 minutes",

@@ -156,3 +156,56 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     # duplicate re-opened window emitted
     assert ("2026-01-01 10:00:00", "click", 2) in rows
     assert sum(1 for _, t, _n in rows if t == "click") == 1
+
+
+def test_stream_sessions_gap_close_and_timeout(spark, tmp_path):
+    """Sessionization closes a session two ways: an in-batch gap
+    beyond the threshold (user 1), and the watermark passing
+    last_ts + gap via EventTimeTimeout (user 2). The still-open
+    session (user 1's second) must NOT be emitted."""
+    import time
+
+    from ctinexus_spark.streaming.ingest import stream_sessions
+
+    src = str(tmp_path / "sess_ev")
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id bigint, ts_s string").selectExpr(
+            "user_id", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: user 1 has two close events; user 2 one event
+    write([(1, "2026-01-01 10:00:00"), (1, "2026-01-01 10:05:00"),
+           (2, "2026-01-01 10:00:00")])
+    time.sleep(1.1)
+    # batch 2: user 1 jumps 2h → in-batch close of [10:00, 10:05];
+    # watermark advances to 11:30, past user 2's last+gap (10:30)
+    write([(1, "2026-01-01 12:00:00")])
+    time.sleep(1.1)
+    # batch 3: lets user 2's timeout fire; extends user 1's open session
+    write([(1, "2026-01-01 12:05:00")])
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.sql("SELECT * FROM sess_sink").collect()
+    }
+    assert (1, "2026-01-01 10:00:00", "2026-01-01 10:05:00", 2) in rows
+    assert (2, "2026-01-01 10:00:00", "2026-01-01 10:00:00", 1) in rows
+    # the open 12:00-12:05 session is not emitted (stream ended first)
+    assert not any(u == 1 and s.startswith("2026-01-01 12:") for u, s, _e, _n in rows)
