@@ -673,10 +673,17 @@ sh AS (
          CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
   FROM bits GROUP BY doc_id
 ),
-chunks AS (
+chunks0 AS (
   SELECT doc_id, simhash, CAST(b AS INT) AS band_idx,
          (simhash >> CAST(b * 12 AS INT)) & 4095 AS chunk
   FROM sh, range(0, 4) r(b)
+),
+okch AS (
+  SELECT band_idx, chunk FROM chunks0 GROUP BY band_idx, chunk HAVING count(*) <= 1000
+),
+chunks AS (
+  SELECT c.doc_id, c.simhash, c.band_idx, c.chunk
+  FROM chunks0 c JOIN okch USING (band_idx, chunk)
 )
 SELECT a_id, b_id, hamming FROM (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,

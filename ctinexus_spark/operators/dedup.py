@@ -223,6 +223,7 @@ def simhash_candidates(
     text_col: str = "text",
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup candidate pairs by SimHash hamming distance.
 
@@ -231,7 +232,10 @@ def simhash_candidates(
     chunk, so a bucket join on (band_idx, chunk) finds all such pairs
     without O(n²); the exact hamming filter then enforces max_hamming.
     JVM-side bit ops on the sketch; the sketch itself comes from the
-    Arrow-batched simhash() UDF.
+    Arrow-batched simhash() UDF. max_bucket drops degenerate hot
+    chunk buckets (boilerplate-heavy corpora put thousands of docs on
+    one chunk → n_bucket² pairs in a single task) — same guard as
+    every other bucket self-join in this module.
     """
     sh = simhash(docs, id_col, text_col)
     width = SIMHASH_BITS // bands
@@ -247,10 +251,14 @@ def simhash_candidates(
     )
     # localCheckpoint: see lsh_candidates — barrier for the self-join
     # without a cache-manager leak
+    from ctinexus_spark.operators.similarity import cap_buckets
+
     banded = sh.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
         id_col, "simhash", F.col("c.band_idx").alias("band_idx"), F.col("c.chunk").alias("chunk")
     )
-    banded = barrier(banded)
+    # cap downstream of the barrier: computed once AND plan-visible
+    # (test_plans.py::test_ann_topk_plans_carry_bucket_cap pattern)
+    banded = cap_buckets(barrier(banded), ["band_idx", "chunk"], max_bucket)
 
     a = banded.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sh"), "band_idx", "chunk")
     b = banded.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sh"), "band_idx", "chunk")

@@ -123,11 +123,12 @@ def test_lsh_candidates_caps_degenerate_buckets(spark):
     assert uncapped.count() == 50 * 49 // 2 + 1
 
 
-@pytest.mark.parametrize("qname", ["lsh_topk", "ivf_topk", "knn_vote"])
+@pytest.mark.parametrize("qname", ["lsh_topk", "ivf_topk", "knn_vote", "simhash_candidates"])
 def test_ann_topk_plans_carry_bucket_cap(spark, qname):
-    """The ANN top-k self-joins must include the degenerate-group guard
-    (cap_buckets' `_bucket_n <= cap` filter) — a hot LSH bucket / IVF
-    cell is dropped instead of exploding into n² in-group pairs."""
+    """Every bucket self-join (ANN top-k, SimHash banding) must include
+    the degenerate-group guard (cap_buckets' `_bucket_n <= cap`
+    filter) — a hot LSH bucket / IVF cell / SimHash chunk is dropped
+    instead of exploding into n² in-group pairs."""
     plan = plan_of(dq.QUERIES[qname](spark, SF))
     assert "_bucket_n" in plan, f"{qname} plan has no bucket-size guard:\n{plan}"
 
