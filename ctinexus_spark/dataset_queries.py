@@ -377,6 +377,77 @@ def q_event_type_rollup(spark, sf_dir):
     )
 
 
+def q_order_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per priority class — Spark's
+    percentile() and DuckDB's quantile_cont use the same linear
+    interpolation (verified bit-exact on this corpus)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    price = F.col("o_totalprice").cast("double")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile(price, 0.5).alias("p50"),
+        F.percentile(price, 0.95).alias("p95"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+def q_revenue_rollup(spark, sf_dir):
+    """ROLLUP over (priority, status): per-group + subtotal + grand
+    total rows, dims coalesced to '(all)' so no NULLs reach the hash
+    compare; money summed through decimal then cast (order-free)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "total",
+            "n",
+        )
+    )
+
+
+def q_event_leadlag(spark, sf_dir):
+    """Per-user event-to-event gap seconds via lag() — the funnel/
+    dwell-time window shape; ties broken by event_id so the frame
+    order is total on both engines."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ timestamps: unix_timestamp under the UTC session zone ==
+    # DuckDB epoch() on the same naive values
+    epoch = F.unix_timestamp(F.col("ts"))
+    prev = F.lag(epoch).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.coalesce(epoch - prev, F.lit(-1)).cast("bigint").alias("secs_since_prev"),
+    )
+
+
+def q_part_triangles(spark, sf_dir):
+    """Triangle counts over the part co-occurrence graph (parts
+    sharing an order are connected) — degree-ordered orientation, the
+    arboricity-bounded MapReduce triangle algorithm
+    (graph/analytics.py)."""
+    from ctinexus_spark.graph.analytics import triangle_counts
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(edges)
+
+
 # --- oracle SQL ---------------------------------------------------------
 
 # SQL string literals: single quotes doubled ("don't" → 'don''t')
@@ -937,6 +1008,62 @@ SELECT user_id,
        CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM marked GROUP BY user_id
 """,
+    "order_percentiles": """
+SELECT o_orderpriority,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) AS p95,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+    "revenue_rollup": """
+SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+       COALESCE(o_orderstatus, '(all)') AS status,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+    "event_leadlag": """
+SELECT user_id, event_id,
+       CAST(COALESCE(CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS BIGINT)
+         AS secs_since_prev
+FROM events
+""",
+    "part_triangles": """
+WITH e AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT x, count(*) AS d FROM (
+    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e
+  ) GROUP BY x
+),
+w AS (
+  SELECT e.u, e.v, du.d AS du, dv.d AS dv
+  FROM e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x
+),
+o AS (
+  SELECT u AS s, v AS t, dv AS dt FROM w WHERE (du < dv) OR (du = dv AND u < v)
+  UNION ALL
+  SELECT v AS s, u AS t, du AS dt FROM w WHERE NOT ((du < dv) OR (du = dv AND u < v))
+),
+paths AS (
+  SELECT p1.s, p1.t AS t1, p1.dt AS d1, p2.t AS t2, p2.dt AS d2
+  FROM o p1 JOIN o p2 ON p1.s = p2.s
+  WHERE (p1.dt < p2.dt) OR (p1.dt = p2.dt AND p1.t < p2.t)
+),
+tri AS (
+  SELECT p.s, p.t1, p.t2 FROM paths p JOIN o ON o.s = p.t1 AND o.t = p.t2
+)
+SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+  SELECT s AS vertex FROM tri
+  UNION ALL SELECT t1 AS vertex FROM tri
+  UNION ALL SELECT t2 AS vertex FROM tri
+) GROUP BY vertex
+""",
     "event_type_rollup": """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
@@ -984,6 +1111,10 @@ QUERIES = {
     "user_top_events": q_user_top_events,
     "event_sessions": q_event_sessions,
     "event_type_rollup": q_event_type_rollup,
+    "order_percentiles": q_order_percentiles,
+    "revenue_rollup": q_revenue_rollup,
+    "event_leadlag": q_event_leadlag,
+    "part_triangles": q_part_triangles,
 }
 
 ORACLES["dedup_clusters_stars"] = ORACLES["dedup_clusters_cc"]

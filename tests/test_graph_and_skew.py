@@ -177,3 +177,19 @@ def test_global_entity_resolution(spark):
 
     identity = global_entity_resolution(ents, StubModel(PipelineConfig()))
     assert all(r.entity_text == r.global_id for r in identity.collect())
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 on {1..4} plus a pendant: each K4 vertex sits in C(3,2)=3
+    triangles, the pendant in none; star centers contribute nothing
+    (degree-ordered orientation)."""
+    from ctinexus_spark.graph.analytics import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 9), (9, 9)], "src bigint, dst bigint")
+    got = {r.vertex: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # a pure star has zero triangles regardless of hub degree
+    star = spark.createDataFrame([(0, i) for i in range(1, 30)], "src bigint, dst bigint")
+    assert triangle_counts(star).count() == 0
