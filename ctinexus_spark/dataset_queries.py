@@ -448,6 +448,27 @@ def q_part_triangles(spark, sf_dir):
     return triangle_counts(edges)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language sampling quotas (md5-threshold per
+    stratum) — the reproducible eval-split / rebalance primitive."""
+    from ctinexus_spark.operators.prepare import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(docs, "lang", {"en": 0.2, "fr": 0.5}, default_frac=0.05)
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Deterministic weighted dataset mixing: src0 appears 3x and src1
+    2x as often as the rest at every schedule prefix; global rank via
+    range-repartition + broadcast offsets (no single-task window)."""
+    from ctinexus_spark.operators.prepare import mixture_plan
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return mixture_plan(docs, {"src0": 3.0, "src1": 2.0}).select(
+        "doc_id", "source", "mix_rank"
+    )
+
+
 # --- oracle SQL ---------------------------------------------------------
 
 # SQL string literals: single quotes doubled ("don't" → 'don''t')
@@ -1008,6 +1029,23 @@ SELECT user_id,
        CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM marked GROUP BY user_id
 """,
+    "stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE lang WHEN 'en' THEN '3333' WHEN 'fr' THEN '8000' ELSE '0ccc' END
+""",
+    "mixture_plan": """
+WITH pos AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS DOUBLE)
+         / (CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0 ELSE 1.0 END) AS p
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(row_number() OVER (ORDER BY p, source, doc_id) AS BIGINT) AS mix_rank
+FROM pos
+""",
     "order_percentiles": """
 SELECT o_orderpriority,
        quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
@@ -1115,6 +1153,8 @@ QUERIES = {
     "revenue_rollup": q_revenue_rollup,
     "event_leadlag": q_event_leadlag,
     "part_triangles": q_part_triangles,
+    "stratified_sample": q_stratified_sample,
+    "mixture_plan": q_mixture_plan,
 }
 
 ORACLES["dedup_clusters_stars"] = ORACLES["dedup_clusters_cc"]

@@ -51,3 +51,84 @@ def exact_text_dedupe(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     """Keep the min-id document per exact text fingerprint."""
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
     return docs.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    fracs: dict[str, float],
+    id_col: str = "doc_id",
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: a row survives iff the
+    first 4 md5 hex chars of its id fall under the stratum's
+    fraction. Reproducible across engines and runs (no RNG — the same
+    portable primitive as the corpus doc_sample), and embarrassingly
+    parallel: a pure filter, no shuffle, fully pushed past the scan's
+    column pruning. The training-data use: per-language / per-source
+    quotas when carving eval splits or rebalancing a corpus.
+
+    The threshold compares the first 4 md5 hex chars against the
+    stratum's fraction rendered as a 4-hex-digit ceiling — pure string
+    comparison, identical in any engine (same trick as doc_sample)."""
+    h4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    thresholds = F.create_map(
+        *[
+            x
+            for k, v in fracs.items()
+            for x in (F.lit(k), F.lit(format(int(float(v) * 65536), "04x")))
+        ]
+    )
+    default_thr = F.lit(format(int(float(default_frac) * 65536), "04x"))
+    thr = F.coalesce(thresholds[F.col(strata_col)], default_thr)
+    return docs.filter(h4 < thr)
+
+
+def mixture_plan(
+    sources: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted dataset mixing — the training-data
+    ordering step: each source's rows (in md5(id) shuffled order) get
+    positions k/weight for k = 1..n, and the global mix_rank sorts the
+    interleave so a weight-2 source appears twice as often as a
+    weight-1 source at every prefix of the schedule.
+
+    Scale shape: the per-source rank is an ordinary partitioned
+    window; the GLOBAL rank deliberately avoids a single-task
+    `row_number() OVER (ORDER BY ...)` — instead rows are
+    range-repartitioned on the sort key (order-preserving across
+    partition indices), ranked locally, and offset by the broadcast
+    cumulative partition counts. Every step is bounded by the data's
+    own partitioning; no RNG, so the schedule is reproducible for
+    resumable training runs."""
+    from ctinexus_spark.partitioning import barrier
+
+    w = Window.partitionBy(source_col).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    wmap = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    weight = F.coalesce(wmap[F.col(source_col)], F.lit(1.0))
+    pos = F.row_number().over(w).cast("double") / weight
+    ranked = sources.withColumn("_pos", pos)
+
+    s = ranked.repartitionByRange(F.col("_pos"), F.col(source_col), F.col(id_col))
+    # pin partition ids before BOTH consumers (local ranks + offsets):
+    # an unpinned spark_partition_id() could recompute differently
+    s = barrier(s.withColumn("_pid", F.spark_partition_id()))
+    wl = Window.partitionBy("_pid").orderBy("_pos", source_col, id_col)
+    local = s.withColumn("_lrn", F.row_number().over(wl).cast("bigint"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        s.groupBy("_pid")
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(woff), F.lit(0)).cast("bigint"))
+        .drop("_n")
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn("mix_rank", F.col("_off") + F.col("_lrn"))
+        .drop("_pid", "_lrn", "_off", "_pos")
+    )

@@ -109,3 +109,34 @@ def test_redact_pii(spark):
     c = got[2]
     assert c.redacted_text == "clean text with no identifiers at all"
     assert (c.n_email, c.n_ipv4, c.n_phone, c.n_ssn) == (0, 0, 0, 0)
+
+
+def test_stratified_sample_quotas(spark):
+    from ctinexus_spark.operators.prepare import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    got = stratified_sample(docs, "lang", {"en": 0.1, "fr": 0.5})
+    by = {r.lang: r["count"] for r in got.groupBy("lang").count().collect()}
+    assert 0.05 < by.get("en", 0) / 1000 < 0.15
+    assert 0.4 < by.get("fr", 0) / 1000 < 0.6
+    # default_frac=0 drops unmapped strata entirely; deterministic
+    assert stratified_sample(docs, "lang", {"en": 0.1}).filter("lang='fr'").count() == 0
+    a = sorted(r.doc_id for r in got.collect())
+    b = sorted(r.doc_id for r in stratified_sample(docs, "lang", {"en": 0.1, "fr": 0.5}).collect())
+    assert a == b
+
+
+def test_mixture_plan_weighted_prefixes(spark):
+    """A weight-2 source must appear ~twice as often as a weight-1
+    source in every schedule prefix, and ranks must be a dense global
+    permutation (the offset-based rank matches a naive global sort)."""
+    from ctinexus_spark.operators.prepare import mixture_plan
+
+    rows = [(i, "heavy") for i in range(300)] + [(1000 + i, "light") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = mixture_plan(docs, {"heavy": 2.0, "light": 1.0}).collect()
+    assert sorted(r.mix_rank for r in got) == list(range(1, 601))
+    prefix = [r.source for r in sorted(got, key=lambda r: r.mix_rank)[:90]]
+    n_heavy = prefix.count("heavy")
+    assert 50 <= n_heavy <= 70  # ~2:1 interleave (60 expected)
