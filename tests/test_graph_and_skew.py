@@ -1,6 +1,8 @@
 """Distributed connected components, skew-safe aggregation, and the
 synthetic skewed-corpus generator (incl. end-to-end CTI-mode run)."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ctinexus_spark.config import PipelineConfig
@@ -44,12 +46,13 @@ class TestStarsComponents:
     """connected_components_stars: O(log² n) rounds regardless of
     diameter (Kiveris et al. large-star/small-star)."""
 
-    def test_matches_minlabel_on_random_graph(self, spark):
+    @pytest.mark.parametrize("seed", [7, 23, 101])
+    def test_matches_minlabel_on_random_graph(self, spark, seed):
         import random
 
         from ctinexus_spark.graph.components import connected_components_stars
 
-        rng = random.Random(7)
+        rng = random.Random(seed)
         edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
         df = spark.createDataFrame(edges, "src bigint, dst bigint")
         a = {r.vertex: r.component for r in connected_components(df).collect()}

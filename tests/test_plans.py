@@ -226,3 +226,21 @@ def test_fused_pipeline_shuffle_budget(spark):
     # 1 = repartition("url") for the align pass; the docs-repartition
     # in normalize_documents adds one more when the input is under-split
     assert len(nodes) <= 2, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_corpus(spark, tmp_path):
+    """A lang-partitioned corpus joined against a filtered dimension
+    must plan a dynamicpruning partition filter — at 100 TB the scan
+    reads only the joined languages' partitions, decided at runtime."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    part_path = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").parquet(part_path)
+
+    fact = spark.read.parquet(part_path)
+    dim = spark.createDataFrame(
+        [("en", "keep"), ("fr", "keep"), ("de", "drop")], "lang string, verdict string"
+    )
+    joined = fact.join(dim.filter(F.col("verdict") == "keep"), "lang").select("doc_id", "lang")
+    plan = plan_of(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.count() == fact.filter(F.col("lang").isin("en", "fr")).count()

@@ -140,3 +140,28 @@ def test_mixture_plan_weighted_prefixes(spark):
     prefix = [r.source for r in sorted(got, key=lambda r: r.mix_rank)[:90]]
     n_heavy = prefix.count("heavy")
     assert 50 <= n_heavy <= 70  # ~2:1 interleave (60 expected)
+
+
+def test_mixture_plan_matches_naive_global_rank(spark):
+    """The offset-based global rank (range-repartition + broadcast
+    cumulative counts) must equal a naive single-window global
+    row_number over the same total order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ctinexus_spark.operators.prepare import mixture_plan
+
+    rows = [(i, f"s{i % 5}") for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    weights = {"s0": 3.0, "s1": 2.0, "s2": 1.5}
+    got = {r.doc_id: r.mix_rank for r in mixture_plan(docs, weights).collect()}
+
+    wsrc = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    wmap = F.create_map(*[x for k, v in weights.items() for x in (F.lit(k), F.lit(v))])
+    pos = F.row_number().over(wsrc).cast("double") / F.coalesce(wmap[F.col("source")], F.lit(1.0))
+    naive = (
+        docs.withColumn("_pos", pos)
+        .withColumn("mix_rank", F.row_number().over(Window.orderBy("_pos", "source", "doc_id")))
+    )
+    expected = {r.doc_id: r.mix_rank for r in naive.collect()}
+    assert got == expected
