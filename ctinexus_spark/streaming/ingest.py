@@ -17,6 +17,7 @@ continuously-crawled corpus needs:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -104,6 +105,93 @@ def stream_dedup(docs: DataFrame, id_col: str = "url", text_col: str = "text") -
         dedup_fn,
         DEDUP_OUTPUT_SCHEMA,
         DEDUP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+NEARDUP_OUTPUT_SCHEMA = "a_id string, b_id string, hamming int"
+NEARDUP_STATE_SCHEMA = "ids array<string>, hashes array<bigint>"
+
+
+def stream_near_dups(
+    docs: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Cross-batch NEAR-duplicate pairs over a streaming documents
+    source — the streaming twin of dedup.simhash_candidates: each
+    document's 48-bit SimHash is split into pigeonhole band chunks
+    (any pair within hamming ≤ bands-1 shares a chunk), state is keyed
+    by (band_idx, chunk) and holds the bucket's (id, simhash) members,
+    and every arrival is exact-hamming-checked against the bucket
+    before joining it. Pairs sharing several chunks emit once per
+    shared chunk — downstream consumers dedupe on (a_id, b_id), same
+    as the batch operator's DISTINCT.
+
+    Scale guards: per-bucket state is capped at max_bucket members
+    (a boilerplate-hot chunk stops accumulating instead of growing
+    O(n) state and O(n) per-arrival compares — the streaming analogue
+    of cap_buckets); state size is ~bands rows per document."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ctinexus_spark.operators.dedup import SIMHASH_BITS, _simhash_one
+
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+
+    @pandas_udf("bigint")
+    def _sh(texts: pd.Series) -> pd.Series:
+        return pd.Series([_simhash_one((t or "").split(" ")) for t in texts])
+
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("chunk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        docs.withColumn("simhash", _sh(F.col(text_col)))
+        .select(id_col, "simhash", F.explode(chunks).alias("c"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            "simhash",
+            F.col("c.band_idx").alias("band_idx"),
+            F.col("c.chunk").alias("chunk"),
+        )
+    )
+
+    def match_fn(key, pdfs, state):
+        ids, hashes = state.get if state.exists else ([], [])
+        ids, hashes = list(ids), list(hashes)
+        out = []
+        rows = pd.concat(list(pdfs)).sort_values("doc_id", kind="stable")
+        for doc_id, sh in zip(rows["doc_id"], rows["simhash"]):
+            sh = int(sh)
+            for other_id, other_sh in zip(ids, hashes):
+                if other_id == doc_id:
+                    continue
+                if bin(sh ^ int(other_sh)).count("1") <= max_hamming:
+                    a, b = sorted((other_id, doc_id))
+                    out.append({"a_id": a, "b_id": b,
+                                "hamming": bin(sh ^ int(other_sh)).count("1")})
+            if len(ids) < max_bucket and doc_id not in ids:
+                ids.append(doc_id)
+                hashes.append(sh)
+        state.update((ids, hashes))
+        return iter([pd.DataFrame(out)]) if out else iter(())
+
+    return banded.groupBy("band_idx", "chunk").applyInPandasWithState(
+        match_fn,
+        NEARDUP_OUTPUT_SCHEMA,
+        NEARDUP_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
     )

@@ -209,3 +209,42 @@ def test_stream_sessions_gap_close_and_timeout(spark, tmp_path):
     assert (2, "2026-01-01 10:00:00", "2026-01-01 10:00:00", 1) in rows
     # the open 12:00-12:05 session is not emitted (stream ended first)
     assert not any(u == 1 and s.startswith("2026-01-01 12:") for u, s, _e, _n in rows)
+
+
+def test_stream_near_dups_across_batches(spark, tmp_path):
+    """Stateful SimHash banding: a near-duplicate arriving in a LATER
+    micro-batch pairs with the earlier document (state outlives the
+    batch); unrelated texts emit nothing."""
+    import time
+
+    from ctinexus_spark.streaming.ingest import stream_near_dups
+
+    src = str(tmp_path / "nd_docs")
+    schema = "url string, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")  # few-token delta → small hamming
+    far = "completely different content about spark shuffle partitions and joins"
+
+    spark.createDataFrame([("a1", base), ("z1", far)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame([("b2", near)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_near_dups(stream)
+        .writeStream.format("memory")
+        .queryName("nd_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    pairs = {(r.a_id, r.b_id) for r in spark.sql("SELECT * FROM nd_sink").collect()}
+    assert ("a1", "b2") in pairs
+    assert not any("z1" in p for p in pairs)
