@@ -195,6 +195,25 @@ def q_ivf_topk(spark, sf_dir):
     return S.ivf_topk(_emb(spark, sf_dir))
 
 
+def q_rand_proj(spark, sf_dir):
+    from ctinexus_spark.operators.quantize import random_projection
+
+    return random_projection(_emb(spark, sf_dir))
+
+
+def q_pq_codes(spark, sf_dir):
+    from ctinexus_spark.operators.quantize import pq_encode
+
+    return pq_encode(_emb(spark, sf_dir))
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    from ctinexus_spark.operators.quantize import pq_adc_topk
+
+    emb = _emb(spark, sf_dir)
+    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
 # --- multimodal plumbing (binary columns synthesized from text so the
 # driver tables can oracle-check the schema/metadata path; the codec
 # itself stays behind the honest stub in operators/multimodal.py) ----
@@ -1158,6 +1177,91 @@ QUERIES = {
 }
 
 ORACLES["dedup_clusters_stars"] = ORACLES["dedup_clusters_cc"]
+
+
+# --- PQ / random-projection oracles (generated literals) ---------------
+
+def _rand_proj_sql() -> str:
+    from ctinexus_spark.operators.similarity import hyperplane_signs
+
+    signs = hyperplane_signs(64, 16)
+    exprs = []
+    for j in range(16):
+        lits = ", ".join(f"{float(x)}" for x in signs[j])
+        exprs.append(
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> embedding[i]::DOUBLE * ([{lits}])[i])) / sqrt(16.0)"
+        )
+    lst = ",\n    ".join(exprs)
+    return f"""
+WITH proj AS (SELECT vec_id, [{lst}] AS l FROM embeddings)
+SELECT vec_id, CAST(generate_subscripts(l, 1) - 1 AS INT) AS pos, unnest(l) AS value
+FROM proj
+"""
+
+
+def _pq_cent_values() -> str:
+    from ctinexus_spark.operators.quantize import pq_centroids
+
+    cents = pq_centroids()
+    return ", ".join(
+        f"({s}, {c}, [{', '.join(repr(float(x)) for x in cents[s, c])}]::DOUBLE[])"
+        for s in range(cents.shape[0])
+        for c in range(cents.shape[1])
+    )
+
+
+_PQ_ASSIGN_SQL = """
+cents(s, c, cv) AS (SELECT * FROM (VALUES {vals})),
+dists AS (
+  SELECT e.vec_id, c.s, c.c,
+         list_sum(list_transform(range(1, 9),
+           j -> (e.embedding[c.s * 8 + j]::DOUBLE - c.cv[j])
+              * (e.embedding[c.s * 8 + j]::DOUBLE - c.cv[j]))) AS dist
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, CAST(s AS INT) AS subspace, CAST(c AS INT) AS code FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+)
+"""
+
+ORACLES["rand_proj"] = _rand_proj_sql()
+ORACLES["pq_codes"] = (
+    "WITH " + _PQ_ASSIGN_SQL.format(vals=_pq_cent_values())
+    + "SELECT vec_id, subspace, code FROM assign"
+)
+ORACLES["pq_adc_topk"] = (
+    "WITH " + _PQ_ASSIGN_SQL.format(vals=_pq_cent_values())
+    + """,
+qd AS (
+  SELECT e.vec_id AS query_id, c.s, c.c,
+         list_sum(list_transform(range(1, 9),
+           j -> (e.embedding[c.s * 8 + j]::DOUBLE - c.cv[j])
+              * (e.embedding[c.s * 8 + j]::DOUBLE - c.cv[j]))) AS dist
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         list_sum(list(q.dist ORDER BY q.s)) AS adc_dist
+  FROM assign a JOIN qd q ON q.s = a.subspace AND q.c = a.code
+  GROUP BY q.query_id, a.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM scored WHERE query_id != neighbor_id
+) WHERE rank <= 5
+"""
+)
+
+QUERIES["rand_proj"] = q_rand_proj
+QUERIES["pq_codes"] = q_pq_codes
+QUERIES["pq_adc_topk"] = q_pq_adc_topk
 
 # headline bench additions (scale-path variants only)
 BENCH_QUERIES = {
