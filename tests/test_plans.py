@@ -51,7 +51,8 @@ QUADRATIC_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
 @pytest.mark.parametrize(
     "qname",
     ["emb_cosine_pairs", "knn_vote", "shingle_overlap", "lsh_candidates",
-     "lsh_topk", "ivf_topk", "dedup_exact", "minhash", "simhash"],
+     "lsh_topk", "ivf_topk", "dedup_exact", "minhash", "simhash",
+     "pq_codes", "pq_adc_topk", "part_triangles", "repetition_ratios"],
 )
 def test_no_quadratic_plan_in_scale_queries(spark, qname):
     """Every headline dedup/similarity query must plan as equi joins —
