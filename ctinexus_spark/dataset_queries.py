@@ -214,6 +214,13 @@ def q_pq_adc_topk(spark, sf_dir):
     return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 10))
 
 
+def q_ivf_pq_topk(spark, sf_dir):
+    from ctinexus_spark.operators.quantize import ivf_pq_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
 # --- multimodal plumbing (binary columns synthesized from text so the
 # driver tables can oracle-check the schema/metadata path; the codec
 # itself stays behind the honest stub in operators/multimodal.py) ----
@@ -1262,6 +1269,66 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
 QUERIES["rand_proj"] = q_rand_proj
 QUERIES["pq_codes"] = q_pq_codes
 QUERIES["pq_adc_topk"] = q_pq_adc_topk
+
+
+# IVF-PQ: coarse-cell restriction + code-lookup distances, composed
+# from the IVF and PQ oracle pieces with fresh CTE names.
+ORACLES["ivf_pq_topk"] = f"""
+WITH ivfcents(cell, cvec) AS (SELECT * FROM (VALUES {_CENTROID_VALUES})),
+iscored AS (
+  SELECT e.vec_id, c.cell,
+         list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS cos
+  FROM embeddings e CROSS JOIN ivfcents c
+),
+iassign AS (
+  SELECT vec_id, CAST(cell AS INT) AS cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+    FROM iscored
+  ) WHERE rn = 1
+),
+okc AS (SELECT cell FROM iassign GROUP BY cell HAVING count(*) <= {S.MAX_CELL}),
+iprobes AS (
+  SELECT vec_id AS query_id, CAST(cell AS INT) AS cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+    FROM iscored WHERE vec_id < 10
+  ) WHERE rn <= {S.N_IVF_PROBE}
+),
+pqcents(s, c, cv) AS (SELECT * FROM (VALUES {_pq_cent_values()})),
+pdists AS (
+  SELECT e.vec_id, c.s, c.c,
+         list_sum(list_transform(range(1, 9),
+           j -> (e.embedding[c.s * 8 + j]::DOUBLE - c.cv[j])
+              * (e.embedding[c.s * 8 + j]::DOUBLE - c.cv[j]))) AS dist
+  FROM embeddings e CROSS JOIN pqcents c
+),
+passign AS (
+  SELECT vec_id, CAST(s AS INT) AS subspace, CAST(c AS INT) AS code FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+    FROM pdists
+  ) WHERE rn = 1
+),
+qd AS (SELECT vec_id AS query_id, s, c, dist FROM pdists WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM iprobes p JOIN iassign a ON p.cell = a.cell JOIN okc ON a.cell = okc.cell
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, list_sum(list(q.dist ORDER BY q.s)) AS adc_dist
+  FROM cand c
+  JOIN passign pa ON pa.vec_id = c.neighbor_id
+  JOIN qd q ON q.query_id = c.query_id AND q.s = pa.subspace AND q.c = pa.code
+  GROUP BY c.query_id, c.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM scored WHERE query_id != neighbor_id
+) WHERE rank <= 5
+"""
+QUERIES["ivf_pq_topk"] = q_ivf_pq_topk
 
 # headline bench additions (scale-path variants only)
 BENCH_QUERIES = {
