@@ -14,7 +14,9 @@ Families:
 - similarity    : query-broadcast exact top-k, LSH buckets/top-k,
                   IVF assign/top-k (+ trained k-means centroids),
                   kNN label vote over LSH neighbors
-                  (operators/similarity.py)
+                  (operators/similarity.py); JL projection, PQ
+                  encode/ADC + IVF-PQ with trained per-subspace
+                  codebooks (operators/quantize.py)
 - multimodal    : binary metadata + frame-sample plans over binary
                   columns synthesized from text (operators/multimodal)
 - url ops       : normalize/validate/domain (text/urls.py)

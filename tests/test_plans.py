@@ -52,7 +52,7 @@ QUADRATIC_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
     "qname",
     ["emb_cosine_pairs", "knn_vote", "shingle_overlap", "lsh_candidates",
      "lsh_topk", "ivf_topk", "dedup_exact", "minhash", "simhash",
-     "pq_codes", "pq_adc_topk", "part_triangles", "repetition_ratios"],
+     "pq_codes", "pq_adc_topk", "ivf_pq_topk", "part_triangles", "repetition_ratios"],
 )
 def test_no_quadratic_plan_in_scale_queries(spark, qname):
     """Every headline dedup/similarity query must plan as equi joins —
@@ -124,7 +124,7 @@ def test_lsh_candidates_caps_degenerate_buckets(spark):
     assert uncapped.count() == 50 * 49 // 2 + 1
 
 
-@pytest.mark.parametrize("qname", ["lsh_topk", "ivf_topk", "knn_vote", "simhash_candidates"])
+@pytest.mark.parametrize("qname", ["lsh_topk", "ivf_topk", "knn_vote", "simhash_candidates", "ivf_pq_topk"])
 def test_ann_topk_plans_carry_bucket_cap(spark, qname):
     """Every bucket self-join (ANN top-k, SimHash banding) must include
     the degenerate-group guard (cap_buckets' `_bucket_n <= cap`
