@@ -103,6 +103,14 @@ def q_redact_pii(spark, sf_dir):
     return T.redact_pii(docs)
 
 
+def q_lm_scores(spark, sf_dir):
+    # mean_prob is the engine-exact column; log2_ppl stays Spark-side
+    # (libm vs JVM log differ in last-ulp)
+    return T.bigram_lm_scores(_docs(spark, sf_dir)).select(
+        "doc_id", "n_bigrams", "mean_prob"
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_duplicates(_docs(spark, sf_dir))
 
@@ -625,6 +633,26 @@ SELECT doc_id,
          / CAST(len({_TOKS}) AS DOUBLE) AS distinct_ratio
 FROM documents
 """,
+    "lm_scores": """
+WITH tk AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+words AS (SELECT unnest(l) AS w FROM tk),
+vocab AS (SELECT count(DISTINCT w) AS v FROM words),
+c1 AS (SELECT w AS w1, count(*) AS c1 FROM words GROUP BY w),
+bg AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, l[i] AS w1, l[i + 1] AS w2
+  FROM tk, unnest(range(1, len(l))) t(i)
+  WHERE len(l) >= 2
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+scored AS (
+  SELECT b.doc_id, b.pos,
+         CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + (SELECT v FROM vocab) AS DOUBLE) AS p
+  FROM bg b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2 JOIN c1 ON b.w1 = c1.w1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       list_sum(list(p ORDER BY pos)) / count(*) AS mean_prob
+FROM scored GROUP BY doc_id
+""",
     "gopher_rules": f"""
 SELECT doc_id,
        CAST(len({_TOKS}) AS BIGINT) AS n_words,
@@ -1145,6 +1173,7 @@ QUERIES = {
     "lang_features": q_lang_features,
     "gopher_rules": q_gopher_rules,
     "repetition_ratios": q_repetition_ratios,
+    "lm_scores": q_lm_scores,
     "redact_pii": q_redact_pii,
     "fingerprints": q_fingerprints,
     "bpe_tokens": q_bpe_tokens,

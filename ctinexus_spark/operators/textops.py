@@ -233,6 +233,80 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     return docs.select(*cols)
 
 
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style corpus-LM likelihood scoring — the perplexity-
+    filter shape: train an add-one-smoothed bigram model ON the corpus
+    itself (two aggregations), then score every document by the mean
+    conditional probability of its bigrams. Low mean_prob = text
+    unlike the corpus (gibberish, boilerplate, wrong language) — the
+    filter signal CCNet takes from a KenLM model, here self-trained
+    and fully distributed (counts are groupBy aggregations; scoring is
+    an equi-join on the bigram key).
+
+    Output: (id, n_bigrams, mean_prob, log2_ppl) with
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V). mean_prob is the
+    hash-checkable column: each p is one IEEE division of integers and
+    the sum folds in document position order (the ordered-aggregate
+    pattern), so DuckDB reproduces it bit-for-bit; log2_ppl
+    (-mean log2 p, the conventional perplexity form) is informational
+    only — libm vs JVM log differ in last-ulp."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    bigrams = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.struct(
+                        F.element_at(toks, i + 1).alias("w1"),
+                        F.element_at(toks, i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("pos", "bg"),
+    ).select(id_col, "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    words = docs.select(F.explode(toks).alias("w"))
+    c1 = words.groupBy(F.col("w").alias("w1")).agg(F.count("*").alias("c1"))
+    vocab = words.select("w").distinct().count()
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+
+    scored = (
+        bigrams.join(c2, ["w1", "w2"]).join(c1, "w1")
+        .withColumn(
+            "p",
+            (F.col("c2") + F.lit(1)).cast("double")
+            / (F.col("c1") + F.lit(int(vocab))).cast("double"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        # position-ordered left fold == DuckDB list_sum(list(ORDER BY))
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "p"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("_sum_p"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "p"))),
+            F.lit(0.0),
+            lambda acc, x: acc - F.log2(x["p"]),
+        ).alias("_sum_nlog"),
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_bigrams",
+        (F.col("_sum_p") / F.col("n_bigrams")).alias("mean_prob"),
+        (F.col("_sum_nlog") / F.col("n_bigrams")).alias("log2_ppl"),
+    )
+
+
 def lang_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Language-ID heuristic features: English stopword hit-rate and
     ascii-letter ratio. (A full lang-id model would be a broadcast

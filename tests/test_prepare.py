@@ -187,3 +187,22 @@ def test_pq_codes_shape_and_adc_prefers_duplicate(spark):
     top = pq_adc_topk(emb, emb.filter(F.col("vec_id") == 7), k=3).collect()
     best = min(top, key=lambda r: r.rank)
     assert best.neighbor_id == 100  # the duplicate wins rank 1
+
+
+def test_bigram_lm_scores_separate_fluent_from_gibberish(spark):
+    """A document made of the corpus's dominant bigrams scores a much
+    higher mean conditional probability (lower perplexity) than one
+    whose bigrams are unique in the corpus."""
+    from ctinexus_spark.operators.textops import bigram_lm_scores
+
+    common = "the cat sat on the mat " * 20
+    docs = spark.createDataFrame(
+        [(1, common.strip()),
+         (2, common.strip()),
+         (3, "zyx wvu tsr qpo nml kji hgf edc ba")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+    assert got[1].mean_prob > 3 * got[3].mean_prob
+    assert got[1].log2_ppl < got[3].log2_ppl
+    assert got[1].n_bigrams == 6 * 20 - 1
