@@ -111,6 +111,18 @@ def q_lm_scores(spark, sf_dir):
     )
 
 
+def q_doc_chunks(spark, sf_dir):
+    from ctinexus_spark.operators.prepare import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir))
+
+
+def q_pack_plan(spark, sf_dir):
+    from ctinexus_spark.operators.prepare import pack_documents
+
+    return pack_documents(_docs(spark, sf_dir), budget_tokens=256)
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_duplicates(_docs(spark, sf_dir))
 
@@ -632,6 +644,36 @@ SELECT doc_id,
        CAST(len(list_distinct({_TOKS})) AS DOUBLE)
          / CAST(len({_TOKS}) AS DOUBLE) AS distinct_ratio
 FROM documents
+""",
+    "doc_chunks": """
+WITH tk AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+nc AS (
+  SELECT doc_id, l,
+         1 + CAST(floor((greatest(len(l) - 64, 0) + 47) / 48.0) AS INT) AS n_chunks
+  FROM tk
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(list_slice(l, i * 48 + 1, i * 48 + 64), ' ') AS chunk_text,
+       CAST(len(list_slice(l, i * 48 + 1, i * 48 + 64)) AS BIGINT) AS n_tokens
+FROM nc, unnest(range(0, n_chunks)) t(i)
+""",
+    "pack_plan": """
+WITH n AS (
+  SELECT doc_id, source AS shard,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+  FROM n
+)
+SELECT doc_id, shard,
+       CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       n_tokens
+FROM c
 """,
     "lm_scores": """
 WITH tk AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
@@ -1174,6 +1216,8 @@ QUERIES = {
     "gopher_rules": q_gopher_rules,
     "repetition_ratios": q_repetition_ratios,
     "lm_scores": q_lm_scores,
+    "doc_chunks": q_doc_chunks,
+    "pack_plan": q_pack_plan,
     "redact_pii": q_redact_pii,
     "fingerprints": q_fingerprints,
     "bpe_tokens": q_bpe_tokens,

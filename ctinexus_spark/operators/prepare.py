@@ -53,6 +53,67 @@ def exact_text_dedupe(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     return docs.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
 
 
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """(id, chunk_idx, chunk_text, n_tokens) — sliding-window token
+    chunking (stride = chunk_tokens - overlap), the context-window
+    prep for LLM training / RAG indexing. Pure JVM: token slices via
+    transform+sequence, no Python; each chunk starts at idx·stride and
+    the last chunk may be short. Every token is covered; consecutive
+    chunks share `overlap` tokens."""
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - chunk_tokens, F.lit(0)) + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "_c"),
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(F.col("_c"), " ").alias("chunk_text"),
+        F.size(F.col("_c")).cast("bigint").alias("n_tokens"),
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """(id, shard, pack_id, start_offset, n_tokens) — concatenate-and-
+    split sequence packing: within each shard, documents are laid out
+    in deterministic md5(id) order and the token stream is cut into
+    budget_tokens blocks; a document belongs to the pack its FIRST
+    token lands in (the standard GPT-style packing bookkeeping).
+    Shard-partitioned window cumsum — no global single-task window;
+    at 100 TB shards are the natural write partitions."""
+    toks = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    with_n = docs.select(F.col(id_col), F.col(shard_col).alias("shard"), toks.alias("n_tokens"))
+    w = Window.partitionBy("shard").orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    cum = F.sum("n_tokens").over(w)
+    return with_n.select(
+        id_col,
+        "shard",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget_tokens)).cast("bigint").alias("pack_id"),
+        (cum - F.col("n_tokens")).cast("bigint").alias("start_offset"),
+        "n_tokens",
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     strata_col: str,

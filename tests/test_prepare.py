@@ -206,3 +206,34 @@ def test_bigram_lm_scores_separate_fluent_from_gibberish(spark):
     assert got[1].mean_prob > 3 * got[3].mean_prob
     assert got[1].log2_ppl < got[3].log2_ppl
     assert got[1].n_bigrams == 6 * 20 - 1
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from ctinexus_spark.operators.prepare import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(100))
+    docs = spark.createDataFrame([(1, text), (2, "short doc")], "doc_id int, text string")
+    got = sorted(chunk_documents(docs).collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    one = [r for r in got if r.doc_id == 1]
+    assert [r.n_tokens for r in one] == [64, 52]
+    # consecutive chunks share exactly `overlap`=16 tokens
+    a, b = one[0].chunk_text.split(" "), one[1].chunk_text.split(" ")
+    assert a[-16:] == b[:16]
+    assert b[-1] == "t99"  # full coverage
+    short = [r for r in got if r.doc_id == 2]
+    assert len(short) == 1 and short[0].n_tokens == 2
+
+
+def test_pack_documents_contiguous_blocks(spark):
+    from ctinexus_spark.operators.prepare import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, "s", " ".join(["w"] * 100)) for i in range(10)],
+        "doc_id int, source string, text string",
+    )
+    got = sorted(pack_documents(docs, budget_tokens=256).collect(),
+                 key=lambda r: r.start_offset)
+    # offsets are the exact cumulative layout: 0,100,...,900
+    assert [r.start_offset for r in got] == [i * 100 for i in range(10)]
+    assert [r.pack_id for r in got] == [i * 100 // 256 for i in range(10)]
+    assert all(r.n_tokens == 100 for r in got)
