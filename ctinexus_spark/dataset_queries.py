@@ -517,6 +517,25 @@ def q_mixture_plan(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination (GPT-3's 13-gram rule; n=8
+    here so every 10..99-token synthetic doc has grams). Benchmark set
+    = every 97th doc, standing in for a held-out eval suite; its
+    distinct gram hashes broadcast against one linear scan of the
+    corpus."""
+    from ctinexus_spark.operators.prepare import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=8)
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Top-20 token-frequency vocabulary (tokenizer-induction step
+    one); global top-k planned as TakeOrderedAndProject."""
+    return T.vocab_topk(_docs(spark, sf_dir), k=20)
+
+
 # --- oracle SQL ---------------------------------------------------------
 
 # SQL string literals: single quotes doubled ("don't" → 'don''t')
@@ -674,6 +693,41 @@ SELECT doc_id, shard,
        CAST(cum - n_tokens AS BIGINT) AS start_offset,
        n_tokens
 FROM c
+""",
+    "decontaminate": """
+WITH g8 AS (
+  SELECT doc_id,
+         CASE WHEN len(str_split(text, ' ')) >= 8 THEN
+           list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 6),
+             i -> array_to_string(list_slice(str_split(text, ' '), i, i + 7), ' ')))
+         ELSE [] END AS grams
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT md5(g) AS gh
+  FROM (SELECT unnest(grams) AS g FROM g8 WHERE doc_id % 97 = 0)
+),
+dg AS (
+  SELECT doc_id, md5(g) AS gh
+  FROM (SELECT doc_id, unnest(grams) AS g FROM g8)
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM dg JOIN bg USING (gh) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
+    "vocab_topk": """
+SELECT token, freq, CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS rank
+FROM (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+)
+ORDER BY freq DESC, token
+LIMIT 20
 """,
     "lm_scores": """
 WITH tk AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
@@ -1256,6 +1310,8 @@ QUERIES = {
     "part_triangles": q_part_triangles,
     "stratified_sample": q_stratified_sample,
     "mixture_plan": q_mixture_plan,
+    "decontaminate": q_decontaminate,
+    "vocab_topk": q_vocab_topk,
 }
 
 ORACLES["dedup_clusters_stars"] = ORACLES["dedup_clusters_cc"]

@@ -114,6 +114,51 @@ def pack_documents(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """(id, n_hits, contaminated) — benchmark n-gram decontamination:
+    flag training documents sharing any whitespace n-gram with an
+    eval/benchmark set (the GPT-3/PaLM-style 13-gram overlap rule).
+    n_hits = number of DISTINCT shared n-grams.
+
+    Scale shape: the benchmark side (eval suites — thousands of docs,
+    not billions) collapses to a distinct md5(n-gram) set that is
+    broadcast, so the training side is a single linear scan + local
+    hash probe: no shuffle of the 100 TB side, no self-join. Grams are
+    md5-hashed before the join so the probe keys are fixed-width
+    instead of ~13-token strings."""
+    from ctinexus_spark.operators.dedup import shingle_col
+
+    bench_grams = (
+        benchmark.select(F.explode(shingle_col(bench_text_col, n)).alias("_g"))
+        .select(F.md5("_g").alias("_gh"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(shingle_col(text_col, n)).alias("_g")
+    ).select(id_col, F.md5("_g").alias("_gh"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "_gh")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     strata_col: str,

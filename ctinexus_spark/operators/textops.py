@@ -307,6 +307,30 @@ def bigram_lm_scores(
     )
 
 
+def vocab_topk(docs: DataFrame, k: int = 500, text_col: str = "text") -> DataFrame:
+    """(token, freq, rank) — corpus token-frequency vocabulary, the
+    first step of tokenizer induction (BPE/WordPiece start from exactly
+    this table). Ties break on the token string so the ranking is
+    total and engine-portable.
+
+    Scale shape: explode → partial-aggregated groupBy (map-side
+    combine) → global top-k via orderBy+limit, which Spark plans as
+    TakeOrderedAndProject (per-partition heaps merged on the driver —
+    no single-task global sort). The row_number window runs AFTER the
+    limit, over k rows only."""
+    from pyspark.sql import Window
+
+    freq = (
+        docs.select(F.explode(_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    return freq.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def lang_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Language-ID heuristic features: English stopword hit-rate and
     ascii-letter ratio. (A full lang-id model would be a broadcast

@@ -237,3 +237,35 @@ def test_pack_documents_contiguous_blocks(spark):
     assert [r.start_offset for r in got] == [i * 100 for i in range(10)]
     assert [r.pack_id for r in got] == [i * 100 // 256 for i in range(10)]
     assert all(r.n_tokens == 100 for r in got)
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from ctinexus_spark.operators.prepare import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id int, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text the quick brown fox jumps over more"),  # overlaps
+            (2, "completely unrelated words in this training doc"),  # clean
+            (3, "the quick brown cat sits"),  # shares exactly one 3-gram
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in decontaminate(docs, bench, n=3).collect()}
+    assert got[1].contaminated and got[1].n_hits == 3  # 3 distinct shared 3-grams
+    assert not got[2].contaminated and got[2].n_hits == 0
+    assert got[3].contaminated and got[3].n_hits == 1  # only "the quick brown"
+    # a doc shorter than n is never contaminated
+    tiny = spark.createDataFrame([(9, "too short")], "doc_id int, text string")
+    assert decontaminate(tiny, bench, n=3).collect()[0].n_hits == 0
+
+
+def test_decontaminate_counts_distinct_hits(spark):
+    from ctinexus_spark.operators.prepare import decontaminate
+
+    bench = spark.createDataFrame([(0, "a b c")], "doc_id int, text string")
+    # the shared 3-gram appears twice in the doc but counts once (distinct)
+    docs = spark.createDataFrame([(1, "a b c x a b c")], "doc_id int, text string")
+    assert decontaminate(docs, bench, n=3).collect()[0].n_hits == 1
