@@ -530,6 +530,32 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=8)
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide line dedup. The synthetic docs are
+    single-line, so the query derives a multi-line view (newline after
+    every 3rd token — 3-token lines repeat across this corpus, ~19%
+    dupes at sf0.01) and dedups lines to their first (doc_id,
+    line_idx) occurrence."""
+    from ctinexus_spark.operators.prepare import line_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace("text", r"(\S+ \S+ \S+) ", "$1\n").alias("text"),
+    )
+    return line_dedup(docs)
+
+
+def q_domain_cap(spark, sf_dir):
+    """RefinedWeb-style per-source quota: at most 10 docs per source
+    (sf0.01 carries 25/source, so the cap truncates) in deterministic
+    md5(id) order, via the skew-safe two-phase top-n."""
+    from ctinexus_spark.operators.prepare import domain_cap
+
+    return domain_cap(_docs(spark, sf_dir), max_per_key=10).select(
+        "doc_id", "source", "capped_rank"
+    )
+
+
 def q_vocab_topk(spark, sf_dir):
     """Top-20 token-frequency vocabulary (tokenizer-induction step
     one); global top-k planned as TakeOrderedAndProject."""
@@ -718,6 +744,51 @@ SELECT d.doc_id,
        CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
+    # raw string: '\n' / '\S' must reach DuckDB's regex engine escaped
+    "line_dedup": r"""
+WITH docs2 AS (
+  SELECT doc_id,
+         regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS text
+  FROM documents
+),
+ln AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS line_idx, l[i] AS line
+  FROM (SELECT doc_id, str_split_regex(text, '\n') AS l FROM docs2) t,
+       unnest(range(1, len(l) + 1)) u(i)
+),
+win AS (
+  SELECT md5(line) AS h,
+         min(struct_pack(i := doc_id, x := line_idx)) AS w
+  FROM ln GROUP BY md5(line)
+),
+kept AS (
+  SELECT ln.doc_id, ln.line_idx, ln.line
+  FROM ln JOIN win ON md5(ln.line) = win.h
+  WHERE ln.doc_id = (win.w).i AND ln.line_idx = (win.w).x
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         array_to_string(list(line ORDER BY line_idx), chr(10)) AS kept_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(str_split_regex(d.text, '\n')) AS BIGINT) AS n_lines,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.kept_text, '') AS kept_text
+FROM docs2 d LEFT JOIN agg a USING (doc_id)
+""",
+    "domain_cap": """
+SELECT doc_id, source, CAST(r AS INT) AS capped_rank
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS r
+  FROM documents
+)
+WHERE r <= 10
 """,
     "vocab_topk": """
 SELECT token, freq, CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS rank
@@ -1312,6 +1383,8 @@ QUERIES = {
     "mixture_plan": q_mixture_plan,
     "decontaminate": q_decontaminate,
     "vocab_topk": q_vocab_topk,
+    "line_dedup": q_line_dedup,
+    "domain_cap": q_domain_cap,
 }
 
 ORACLES["dedup_clusters_stars"] = ORACLES["dedup_clusters_cc"]

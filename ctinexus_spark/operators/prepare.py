@@ -114,6 +114,92 @@ def pack_documents(
     )
 
 
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """(id, n_lines, n_kept, kept_text) — CCNet-style corpus-wide
+    line-level deduplication: every distinct line survives only at its
+    FIRST occurrence (lexicographic (id, line_idx) order); later
+    occurrences are dropped and each document's text is reassembled
+    from its surviving lines. The step that strips boilerplate lines
+    ("enable JavaScript", cookie banners) repeated across a crawl.
+    Documents whose every line is removed stay in the output with
+    kept_text = ''.
+
+    Scale shape: explode → groupBy(md5(line)) with a struct-min
+    aggregate (partial/map-side combine, so the billion-fold repeated
+    hot line is safe — no per-key window sort) → equi-join back on the
+    hash → per-doc reassembly. `sep` is both the split regex and the
+    rejoin delimiter, so it must be a regex-literal string."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("line_idx", "line"),
+    )
+    winners = lines.groupBy(F.md5("line").alias("_h")).agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("line_idx").alias("x"))).alias("_w")
+    )
+    kept = lines.join(winners, F.md5(lines["line"]) == winners["_h"]).filter(
+        (F.col(id_col) == F.col("_w.i")) & (F.col("line_idx") == F.col("_w.x"))
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("kept_text"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep, -1)).cast("bigint").alias("n_lines"),
+    )
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )
+
+
+def domain_cap(
+    docs: DataFrame,
+    max_per_key: int,
+    key: str = "source",
+    id_col: str = "doc_id",
+    salts: int = 64,
+) -> DataFrame:
+    """Keep at most max_per_key documents per domain/source, in
+    deterministic md5(id) order, with the surviving rank exposed as
+    `capped_rank` — the RefinedWeb-style per-domain quota that stops a
+    link-farm host from dominating the corpus.
+
+    Skew-safe two-phase top-n: a hot domain holding 30% of a 100 TB
+    crawl would make a single `row_number() OVER (PARTITION BY key)`
+    task sort 30 TB, so phase 1 ranks within (key, salt) buckets
+    (bounded partitions) and keeps each bucket's top-n; phase 2 ranks
+    the <= salts*n survivors per key exactly. Any true top-n row is in
+    its bucket's top-n, and every row ranked above a survivor also
+    survives, so phase-2 rank == true rank."""
+    h = F.md5(F.col(id_col).cast("string"))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts))
+    w_local = Window.partitionBy(F.col(key), salt).orderBy(h, id_col)
+    local = (
+        docs.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= max_per_key)
+        .drop("_lr")
+    )
+    w_global = Window.partitionBy(key).orderBy(h, id_col)
+    return (
+        local.withColumn("capped_rank", F.row_number().over(w_global).cast("int"))
+        .filter(F.col("capped_rank") <= max_per_key)
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -53,7 +53,7 @@ QUADRATIC_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
     ["emb_cosine_pairs", "knn_vote", "shingle_overlap", "lsh_candidates",
      "lsh_topk", "ivf_topk", "dedup_exact", "minhash", "simhash",
      "pq_codes", "pq_adc_topk", "ivf_pq_topk", "part_triangles", "repetition_ratios",
-     "lm_scores"],
+     "lm_scores", "decontaminate", "vocab_topk", "line_dedup", "domain_cap"],
 )
 def test_no_quadratic_plan_in_scale_queries(spark, qname):
     """Every headline dedup/similarity query must plan as equi joins —
@@ -191,6 +191,25 @@ def test_ivf_probe_list_extends_assignment(spark):
     for r in joined:
         assert r.probe_cells[0] == r.cell
         assert len(set(r.probe_cells)) == 2
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark n-gram set is the small side: it must broadcast
+    (one linear probe of the corpus), never shuffle the 100 TB side
+    into a SortMergeJoin on the gram key."""
+    plan = plan_of(dq.QUERIES["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    gram_join_lines = [
+        ln for ln in plan.splitlines() if "SortMergeJoin" in ln and "_gh" in ln
+    ]
+    assert not gram_join_lines, plan
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition
+    heaps), not a global Sort of the whole vocabulary."""
+    plan = plan_of(dq.QUERIES["vocab_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_q1_partial_aggregation(spark):

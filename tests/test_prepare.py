@@ -269,3 +269,56 @@ def test_decontaminate_counts_distinct_hits(spark):
     # the shared 3-gram appears twice in the doc but counts once (distinct)
     docs = spark.createDataFrame([(1, "a b c x a b c")], "doc_id int, text string")
     assert decontaminate(docs, bench, n=3).collect()[0].n_hits == 1
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from ctinexus_spark.operators.prepare import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me\nshared line\nunique one"),
+            (2, "shared line\nanother line"),  # loses "shared line" to doc 1
+            (3, "shared line"),  # fully emptied
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert got[1].kept_text == "keep me\nshared line\nunique one"
+    assert (got[1].n_lines, got[1].n_kept) == (3, 3)
+    assert got[2].kept_text == "another line"
+    assert (got[2].n_lines, got[2].n_kept) == (2, 1)
+    assert got[3].kept_text == "" and got[3].n_kept == 0
+
+
+def test_line_dedup_within_doc_repeat(spark):
+    from ctinexus_spark.operators.prepare import line_dedup
+
+    docs = spark.createDataFrame([(1, "a\nb\na")], "doc_id int, text string")
+    r = line_dedup(docs).collect()[0]
+    # the repeated line survives only at its first index
+    assert r.kept_text == "a\nb" and r.n_kept == 2 and r.n_lines == 3
+
+
+def test_domain_cap_matches_naive_window(spark):
+    from pyspark.sql import Window, functions as F
+
+    from ctinexus_spark.operators.prepare import domain_cap
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", "t") for i in range(40)],
+        "doc_id bigint, source string, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.source, r.capped_rank)
+        for r in domain_cap(docs, max_per_key=5, salts=4).collect()
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    naive = sorted(
+        (r.doc_id, r.source, r.r)
+        for r in docs.withColumn("r", F.row_number().over(w).cast("int"))
+        .filter("r <= 5")
+        .collect()
+    )
+    assert got == naive and len(got) == 15
