@@ -1545,5 +1545,7 @@ BENCH_QUERIES = {
     "text_quality": q_quality,
     "text_gopher": q_gopher_rules,
     "text_winnow_fp": q_winnow_fp,
+    "dedup_lines": q_line_dedup,
+    "decontaminate": q_decontaminate,
     "tpch_q1": q_tpch_q1,
 }

@@ -265,10 +265,20 @@ def align_entities(
     # hint would force a full-table broadcast at corpus scale.
     with_vecs = nodes.join(embeddings, "mention_text", "left")
 
-    def run(_key, pdf):
-        return _align_one_doc(pdf, thr, mode)
+    # batched grouped-map: many docs per Arrow exchange instead of the
+    # ~2 ms-per-group applyInPandas tax (once per document). NOTE the
+    # modular path still ships embedding vectors through the url
+    # shuffle — it is the oracle-semantics reference; the production
+    # fused path embeds inside the Arrow pass (operators/fused.py).
+    def _process(pdf):
+        import pandas as pd
 
-    return with_vecs.groupBy("url").applyInPandas(run, schema=ALIGNED_SCHEMA)
+        outs = [_align_one_doc(g, thr, mode) for _, g in pdf.groupby("url", sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    from ctinexus_spark.partitioning import grouped_map_stitched
+
+    return grouped_map_stitched(with_vecs, "url", _process, ALIGNED_SCHEMA)
 
 
 def aligned_triples(aligned_nodes: DataFrame) -> DataFrame:

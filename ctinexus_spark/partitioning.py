@@ -44,6 +44,49 @@ def ensure_parallelism(df: DataFrame, min_parallelism: int | None = None) -> Dat
     return df
 
 
+def grouped_map_stitched(df: DataFrame, key: str, process, schema) -> DataFrame:
+    """The cheap replacement for groupBy(key).applyInPandas(...) when
+    groups are numerous and small (per-document work): one Arrow
+    exchange per BATCH of many groups instead of per group — the
+    grouped-map path pays ~2 ms of pandas/Arrow overhead per group
+    (measured; see operators/fused.py), which is 10^12 × 2 ms at
+    web scale.
+
+    `process` receives pandas frames containing only WHOLE key-groups
+    (possibly many per call; split them with pdf.groupby(key)) and
+    returns a frame matching `schema` by column name.
+
+    Shape: repartition(key) → sortWithinPartitions(key) → mapInPandas.
+    Arrow caps batches at arrow.maxRecordsPerBatch, so one group can
+    straddle a batch boundary; rows arrive sorted by key, so each
+    batch's trailing group is held back and stitched onto the next
+    batch — every group is processed whole regardless of batch size."""
+    import pandas as pd
+
+    def run(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            last = pdf[key].iloc[-1]
+            boundary = pdf[key] == last
+            pending = pdf[boundary]
+            work = pdf[~boundary]
+            if len(work):
+                yield process(work)
+        if pending is not None and len(pending):
+            yield process(pending)
+
+    return (
+        df.repartition(key)
+        .sortWithinPartitions(key)
+        .mapInPandas(run, schema=schema)
+    )
+
+
 def barrier(df: DataFrame) -> DataFrame:
     """Eager materialization barrier for multi-consumer branch points
     (a lazy persist would race inside a single multi-consumer job and
