@@ -320,38 +320,15 @@ def align_graph_triples(typed: DataFrame, model, config: PipelineConfig) -> Data
             _one_doc(url, g, emb_of, rows)
         return pd.DataFrame(rows, columns=cols)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one Arrow exchange per batch of MANY documents — a
-        # groupBy().applyInPandas() would pay the per-group pandas/
-        # Arrow overhead 10^12 times (measured ~2ms/doc: 2000 core-
-        # years at target scale); repartition+mapInPandas amortizes it.
-        #
-        # Arrow batches are capped at arrow.maxRecordsPerBatch, so one
-        # url's rows can straddle a batch boundary. Rows arrive sorted
-        # by url (sortWithinPartitions below): hold back each batch's
-        # trailing url and stitch it onto the next batch, so every
-        # document is EA/LP-processed whole regardless of batch size.
-        pending: pd.DataFrame | None = None
-        for pdf in batches:
-            if pending is not None:
-                pdf = pd.concat([pending, pdf], ignore_index=True)
-                pending = None
-            if not len(pdf):
-                continue
-            last_url = pdf["url"].iloc[-1]
-            boundary = pdf["url"] == last_url
-            pending = pdf[boundary]
-            work = pdf[~boundary]
-            if len(work):
-                yield _process(work)
-        if pending is not None and len(pending):
-            yield _process(pending)
+    # one Arrow exchange per batch of MANY documents — a
+    # groupBy().applyInPandas() would pay the per-group pandas/Arrow
+    # overhead 10^12 times (measured ~2ms/doc: 2000 core-years at
+    # target scale). The repartition + sortWithinPartitions +
+    # batch-boundary stitch lives in partitioning.grouped_map_stitched
+    # (shared with the modular EA/LP operators).
+    from ctinexus_spark.partitioning import grouped_map_stitched
 
-    return (
-        t.repartition("url")
-        .sortWithinPartitions("url")
-        .mapInPandas(run, schema=FUSED_SCHEMA)
-    )
+    return grouped_map_stitched(t, "url", _process, FUSED_SCHEMA)
 
 
 def extracted_triples(fused: DataFrame) -> DataFrame:
