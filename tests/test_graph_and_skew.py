@@ -196,3 +196,38 @@ def test_triangle_counts_known_graph(spark):
     # a pure star has zero triangles regardless of hub degree
     star = spark.createDataFrame([(0, i) for i in range(1, 30)], "src bigint, dst bigint")
     assert triangle_counts(star).count() == 0
+
+
+def test_grouped_map_stitched_whole_groups_across_batches(spark):
+    """The shared stitched grouped-map must hand `process` only WHOLE
+    key-groups even when a group straddles the Arrow batch cap: with
+    maxRecordsPerBatch=4 and 7-row groups, every group straddles."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ctinexus_spark.partitioning import grouped_map_stitched
+
+    df = spark.createDataFrame(
+        [(f"g{i:02d}", j) for i in range(10) for j in range(7)],
+        "k string, v int",
+    )
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.groupby("k", sort=False)
+            .agg(n=("v", "size"), s=("v", "sum"))
+            .reset_index()
+        )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try:
+        got = grouped_map_stitched(df, "k", process, "k string, n bigint, s bigint")
+        rows = got.collect()
+    finally:
+        spark.conf.set(key, prev)
+    # one output row per group (no fragment rows), full counts/sums
+    assert sorted((r.k, r.n, r.s) for r in rows) == [
+        (f"g{i:02d}", 7, 21) for i in range(10)
+    ]
