@@ -556,6 +556,18 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_dsir_features(spark, sf_dir):
+    """DSIR-shaped importance features: every doc scored under a
+    bigram LM trained on the lang='en' target subset vs one trained on
+    the full corpus (the data-selection likelihood-ratio shape).
+    log_weight is informational-only and kept out of the hash-checked
+    projection."""
+    docs = _docs(spark, sf_dir)
+    return T.dsir_features(docs, docs.filter(F.col("lang") == "en")).select(
+        "doc_id", "n_bigrams", "mean_p_target", "mean_p_corpus"
+    )
+
+
 def q_vocab_topk(spark, sf_dir):
     """Top-20 token-frequency vocabulary (tokenizer-induction step
     one); global top-k planned as TakeOrderedAndProject."""
@@ -818,6 +830,44 @@ scored AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        list_sum(list(p ORDER BY pos)) / count(*) AS mean_prob
+FROM scored GROUP BY doc_id
+""",
+    "dsir_features": """
+WITH tk AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+bg AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, l[i] AS w1, l[i + 1] AS w2
+  FROM tk, unnest(range(1, len(l))) t(i)
+  WHERE len(l) >= 2
+),
+words_c AS (SELECT unnest(l) AS w FROM tk),
+vocab_c AS (SELECT count(DISTINCT w) AS v FROM words_c),
+c1_c AS (SELECT w AS w1, count(*) AS c1 FROM words_c GROUP BY w),
+c2_c AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+tk_t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents WHERE lang = 'en'),
+bg_t AS (
+  SELECT l[i] AS w1, l[i + 1] AS w2
+  FROM tk_t, unnest(range(1, len(l))) t(i)
+  WHERE len(l) >= 2
+),
+words_t AS (SELECT unnest(l) AS w FROM tk_t),
+vocab_t AS (SELECT count(DISTINCT w) AS v FROM words_t),
+c1_t AS (SELECT w AS w1, count(*) AS c1 FROM words_t GROUP BY w),
+c2_t AS (SELECT w1, w2, count(*) AS c2 FROM bg_t GROUP BY w1, w2),
+scored AS (
+  SELECT b.doc_id, b.pos,
+         CAST(coalesce(ct2.c2, 0) + 1 AS DOUBLE)
+           / CAST(coalesce(ct1.c1, 0) + (SELECT v FROM vocab_t) AS DOUBLE) AS pt,
+         CAST(cc2.c2 + 1 AS DOUBLE)
+           / CAST(cc1.c1 + (SELECT v FROM vocab_c) AS DOUBLE) AS pc
+  FROM bg b
+  LEFT JOIN c2_t ct2 ON b.w1 = ct2.w1 AND b.w2 = ct2.w2
+  LEFT JOIN c1_t ct1 ON b.w1 = ct1.w1
+  JOIN c2_c cc2 ON b.w1 = cc2.w1 AND b.w2 = cc2.w2
+  JOIN c1_c cc1 ON b.w1 = cc1.w1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       list_sum(list(pt ORDER BY pos)) / count(*) AS mean_p_target,
+       list_sum(list(pc ORDER BY pos)) / count(*) AS mean_p_corpus
 FROM scored GROUP BY doc_id
 """,
     "gopher_rules": f"""
@@ -1385,6 +1435,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "line_dedup": q_line_dedup,
     "domain_cap": q_domain_cap,
+    "dsir_features": q_dsir_features,
 }
 
 ORACLES["dedup_clusters_stars"] = ORACLES["dedup_clusters_cc"]

@@ -237,6 +237,7 @@ def bigram_lm_scores(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    train_docs: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style corpus-LM likelihood scoring — the perplexity-
     filter shape: train an add-one-smoothed bigram model ON the corpus
@@ -246,6 +247,12 @@ def bigram_lm_scores(
     filter signal CCNet takes from a KenLM model, here self-trained
     and fully distributed (counts are groupBy aggregations; scoring is
     an equi-join on the bigram key).
+
+    `train_docs` (default: docs itself) chooses the training corpus —
+    pass a target subset to score p(doc | target LM) for DSIR-style
+    importance weighting. Bigrams/words unseen in training score with
+    zero counts under the same add-one smoothing (left joins), which
+    is a no-op for self-training where every key exists.
 
     Output: (id, n_bigrams, mean_prob, log2_ppl) with
     p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V). mean_prob is the
@@ -272,17 +279,35 @@ def bigram_lm_scores(
         ).alias("pos", "bg"),
     ).select(id_col, "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
-    words = docs.select(F.explode(toks).alias("w"))
+    train = train_docs if train_docs is not None else docs
+    train_toks = F.split(F.col(text_col), " ")
+    tn = F.size(train_toks)
+    train_bigrams = train.select(
+        F.explode(
+            F.when(
+                tn >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), tn - 2),
+                    lambda i: F.struct(
+                        F.element_at(train_toks, i + 1).alias("w1"),
+                        F.element_at(train_toks, i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    words = train.select(F.explode(train_toks).alias("w"))
     c1 = words.groupBy(F.col("w").alias("w1")).agg(F.count("*").alias("c1"))
     vocab = words.select("w").distinct().count()
-    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c2 = train_bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
 
     scored = (
-        bigrams.join(c2, ["w1", "w2"]).join(c1, "w1")
+        bigrams.join(c2, ["w1", "w2"], "left").join(c1, "w1", "left")
         .withColumn(
             "p",
-            (F.col("c2") + F.lit(1)).cast("double")
-            / (F.col("c1") + F.lit(int(vocab))).cast("double"),
+            (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(int(vocab))).cast("double"),
         )
     )
     agg = scored.groupBy(id_col).agg(
@@ -304,6 +329,46 @@ def bigram_lm_scores(
         "n_bigrams",
         (F.col("_sum_p") / F.col("n_bigrams")).alias("mean_prob"),
         (F.col("_sum_nlog") / F.col("n_bigrams")).alias("log2_ppl"),
+    )
+
+
+def dsir_features(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bigrams, mean_p_target, mean_p_corpus, log_weight) —
+    DSIR-shaped importance features for data selection: every document
+    scored under a bigram LM trained on the TARGET subset and one
+    trained on the full corpus. Documents whose target-LM likelihood
+    exceeds their corpus-LM likelihood are the ones importance
+    resampling upweights (Xie et al., DSIR — there with hashed n-gram
+    features; same two-model likelihood-ratio shape).
+
+    mean_p_* are engine-exact (integer-count divisions folded in
+    position order); log_weight = n · (ln mean_p_target − ln
+    mean_p_corpus) is the convenient ranking form but informational
+    only (libm vs JVM log differ in last ulp) — keep it out of
+    hash-checked oracle projections.
+
+    Scale shape: two count-table aggregations (map-side combined) +
+    per-bigram left equi-joins; nothing quadratic, no driver loops."""
+    t = bigram_lm_scores(docs, id_col, text_col, train_docs=target).select(
+        id_col, "n_bigrams", F.col("mean_prob").alias("mean_p_target")
+    )
+    c = bigram_lm_scores(docs, id_col, text_col).select(
+        id_col, F.col("mean_prob").alias("mean_p_corpus")
+    )
+    return t.join(c, id_col).select(
+        id_col,
+        "n_bigrams",
+        "mean_p_target",
+        "mean_p_corpus",
+        (
+            F.col("n_bigrams").cast("double")
+            * (F.log(F.col("mean_p_target")) - F.log(F.col("mean_p_corpus")))
+        ).alias("log_weight"),
     )
 
 
