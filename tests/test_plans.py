@@ -266,3 +266,35 @@ def test_dynamic_partition_pruning_on_partitioned_corpus(spark, tmp_path):
     plan = plan_of(joined)
     assert "dynamicpruning" in plan.lower(), plan
     assert joined.count() == fact.filter(F.col("lang").isin("en", "fr")).count()
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """The 100 TB join lever beyond DPP: with runtime Bloom-filter
+    join pruning enabled, a selective filter on the build side injects
+    a might_contain() predicate into the probe side's SCAN, so the big
+    table's non-matching rows die before the shuffle. Defaults gate on
+    size estimates (creationSideThreshold 10 MB / probe-scan 10 GB);
+    the thresholds are relaxed here because test tables are tiny —
+    at real scale the defaults engage on exactly this plan shape."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter("o_totalprice > 450000")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = plan_of(j)
+        assert "might_contain" in plan, plan
+        assert j.count() > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
