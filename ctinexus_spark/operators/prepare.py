@@ -66,6 +66,13 @@ def chunk_documents(
     transform+sequence, no Python; each chunk starts at idx·stride and
     the last chunk may be short. Every token is covered; consecutive
     chunks share `overlap` tokens."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < chunk_tokens, got "
+            f"overlap={overlap}, chunk_tokens={chunk_tokens}"
+        )
     stride = chunk_tokens - overlap
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
@@ -99,13 +106,42 @@ def pack_documents(
     in deterministic md5(id) order and the token stream is cut into
     budget_tokens blocks; a document belongs to the pack its FIRST
     token lands in (the standard GPT-style packing bookkeeping).
-    Shard-partitioned window cumsum — no global single-task window;
-    at 100 TB shards are the natural write partitions."""
+
+    Scale shape: a plain `sum() OVER (PARTITION BY shard ORDER BY ...)`
+    makes each shard ONE sorting task — with shard = source and O(10)
+    sources at 100 TB that is a multi-TB single-task sort.  Instead the
+    per-shard cumsum uses the mixture_plan decomposition: rows are
+    range-repartitioned on (shard, md5(id), id) — order-preserving
+    across partition indices — cumsum'd locally per (partition, shard),
+    then offset by the broadcast per-(shard, partition) token totals.
+    Every task is bounded by the partitioner's own split sizing, so a
+    hot shard spreads over many tasks instead of landing on one."""
+    from ctinexus_spark.partitioning import barrier
+
     toks = F.size(F.split(F.col(text_col), " ")).cast("bigint")
-    with_n = docs.select(F.col(id_col), F.col(shard_col).alias("shard"), toks.alias("n_tokens"))
-    w = Window.partitionBy("shard").orderBy(F.md5(F.col(id_col).cast("string")), id_col)
-    cum = F.sum("n_tokens").over(w)
-    return with_n.select(
+    with_n = docs.select(
+        F.col(id_col),
+        F.col(shard_col).alias("shard"),
+        toks.alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("_k"),
+    )
+    s = with_n.repartitionByRange("shard", "_k", id_col)
+    # pin partition ids before BOTH consumers (local cumsums + offsets)
+    s = barrier(s.withColumn("_pid", F.spark_partition_id()))
+    wl = Window.partitionBy("_pid", "shard").orderBy("_k", id_col)
+    local = s.withColumn("_lcum", F.sum("n_tokens").over(wl).cast("bigint"))
+    # offsets table is shards × partitions rows — tiny, broadcastable
+    woff = Window.partitionBy("shard").orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        s.groupBy("shard", "_pid")
+        .agg(F.sum("n_tokens").alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(woff), F.lit(0)).cast("bigint"))
+        .drop("_n")
+    )
+    cum = F.col("_off") + F.col("_lcum")
+    return local.join(F.broadcast(offs), ["shard", "_pid"]).select(
         id_col,
         "shard",
         F.floor((cum - F.col("n_tokens")) / F.lit(budget_tokens)).cast("bigint").alias("pack_id"),
@@ -262,17 +298,26 @@ def stratified_sample(
 
     The threshold compares the first 4 md5 hex chars against the
     stratum's fraction rendered as a 4-hex-digit ceiling — pure string
-    comparison, identical in any engine (same trick as doc_sample)."""
+    comparison, identical in any engine (same trick as doc_sample).
+    Fractions >= 1.0 render as 'g' (lexicographically above every hex
+    prefix) so 'keep the whole stratum' keeps it — a naive 5-digit
+    '10000' literal would sort BELOW 'ffff' and silently keep ~6%."""
+
+    def _thr(v: float) -> str:
+        v = float(v)
+        if v >= 1.0:
+            return "g"
+        return format(max(int(v * 65536), 0), "04x")
+
     h4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
-    thresholds = F.create_map(
-        *[
-            x
-            for k, v in fracs.items()
-            for x in (F.lit(k), F.lit(format(int(float(v) * 65536), "04x")))
-        ]
-    )
-    default_thr = F.lit(format(int(float(default_frac) * 65536), "04x"))
-    thr = F.coalesce(thresholds[F.col(strata_col)], default_thr)
+    default_thr = F.lit(_thr(default_frac))
+    if fracs:
+        thresholds = F.create_map(
+            *[x for k, v in fracs.items() for x in (F.lit(k), F.lit(_thr(v)))]
+        )
+        thr = F.coalesce(thresholds[F.col(strata_col)], default_thr)
+    else:
+        thr = default_thr
     return docs.filter(h4 < thr)
 
 

@@ -206,6 +206,32 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     assert not gram_join_lines, plan
 
 
+def test_pack_plan_no_shard_only_window_over_rows(spark):
+    """pack_documents must not cumsum with a window partitioned solely
+    by shard over the row-level data — with O(10) source shards at
+    100 TB that is one multi-TB sorting task per shard.  The row-level
+    cumsum window must carry _pid (range-partition id) in its partition
+    spec; the only shard-only window allowed is the per-(shard,
+    partition) offsets cumsum over the tiny aggregated table, which
+    orders by _pid alone."""
+    import re
+
+    plan = plan_of(dq.QUERIES["pack_plan"](spark, SF))
+    specs = re.findall(
+        r"windowspecdefinition\(([^)]*?)specifiedwindowframe", plan
+    )
+    assert specs, plan
+    for spec in specs:
+        if re.match(r"^shard#\d+, ", spec):
+            # shard-only partition spec: must be the offsets cumsum,
+            # i.e. ordered by the partition id, not by row-level keys
+            assert "_pid#" in spec and "doc_id#" not in spec, spec
+        else:
+            assert spec.startswith("_pid#"), spec
+    # offsets join back to rows must broadcast the tiny side
+    assert "BroadcastHashJoin" in plan
+
+
 def test_vocab_topk_is_take_ordered(spark):
     """Global top-k must plan as TakeOrderedAndProject (per-partition
     heaps), not a global Sort of the whole vocabulary."""

@@ -239,6 +239,57 @@ def test_pack_documents_contiguous_blocks(spark):
     assert all(r.n_tokens == 100 for r in got)
 
 
+def test_pack_documents_multi_shard_cross_partition(spark):
+    """The range-repartitioned cumsum must equal the per-shard global
+    cumsum even when a shard spans several range partitions."""
+    import hashlib
+
+    from ctinexus_spark.operators.prepare import pack_documents
+
+    rows = [(i, f"s{i % 3}", " ".join(["w"] * (10 + i % 7))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    got = {r.doc_id: r for r in pack_documents(docs, budget_tokens=64).collect()}
+    # reference layout: per shard, md5(id) order, running token offsets
+    by_shard = {}
+    for i, src, text in rows:
+        by_shard.setdefault(src, []).append((hashlib.md5(str(i).encode()).hexdigest(), i, len(text.split(" "))))
+    for src, items in by_shard.items():
+        cum = 0
+        for _, i, n in sorted(items):
+            r = got[i]
+            assert (r.shard, r.start_offset, r.pack_id, r.n_tokens) == (
+                src, cum, cum // 64, n), (i, r)
+            cum += n
+
+
+def test_chunk_documents_rejects_bad_window(spark):
+    import pytest
+
+    from ctinexus_spark.operators.prepare import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=16, overlap=16)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=16, overlap=-1)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(docs, chunk_tokens=0, overlap=0)
+
+
+def test_stratified_sample_full_fraction_keeps_stratum(spark):
+    """frac >= 1.0 must keep the WHOLE stratum — the naive 5-hex-digit
+    threshold '10000' sorts below 'ffff' and silently kept ~6%."""
+    from ctinexus_spark.operators.prepare import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr") for i in range(100)], "doc_id int, lang string"
+    )
+    got = stratified_sample(docs, "lang", {"en": 1.0}, default_frac=0.0).collect()
+    assert len(got) == 50 and all(r.lang == "en" for r in got)
+    # default_frac >= 1 keeps everything
+    assert stratified_sample(docs, "lang", {}, default_frac=1.5).count() == 100
+
+
 def test_decontaminate_flags_ngram_overlap(spark):
     from ctinexus_spark.operators.prepare import decontaminate
 
