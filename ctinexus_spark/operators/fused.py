@@ -31,6 +31,7 @@ from ctinexus_spark.config import PipelineConfig
 from ctinexus_spark.ioc import detect_iocs
 from ctinexus_spark.jsonrepair import parse_llm_json
 from ctinexus_spark.operators.ea import _clusters_cc, _clusters_star, _cosine_matrix
+from ctinexus_spark.operators.et import _first_key_or_default
 from ctinexus_spark.partitioning import barrier
 from ctinexus_spark.validation import valid_ie_triplet, valid_typed_triplet
 
@@ -86,8 +87,6 @@ def extract_and_tag(docs: DataFrame, model, text_col: str = "text_norm") -> Data
                     obj = t.get("object") if isinstance(t, dict) else {}
                     subj = subj if isinstance(subj, dict) else {}
                     obj = obj if isinstance(obj, dict) else {}
-                    from ctinexus_spark.operators.et import _first_key_or_default
-
                     rows.append(
                         (url, i, subj.get("text"), _first_key_or_default(subj.get("class")),
                          t.get("relation") if isinstance(t, dict) else None,

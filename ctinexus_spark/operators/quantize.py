@@ -126,6 +126,12 @@ def train_pq_centroids(
         .limit(k)
         .collect()
     )
+    if not init_rows:
+        raise ValueError("train_pq_centroids: embeddings input is empty")
+    # fewer distinct vectors than codes would leave all-zero codebook
+    # rows that attract assignments and silently degrade the codebook —
+    # shrink k to the available sample instead
+    k = min(k, len(init_rows))
     cents = np.zeros((subspaces, k, sub))
     for c, r in enumerate(init_rows):
         v = np.asarray(list(r.v), dtype=np.float64)

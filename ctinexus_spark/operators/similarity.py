@@ -263,12 +263,25 @@ def ivf_centroids(dim: int = EMBED_DIM, cells: int = N_IVF_CELLS) -> list[list[f
     return [stub_embedding(f"ivf-centroid-{i}", dim).tolist() for i in range(cells)]
 
 
+def _unit_rows(cents: np.ndarray) -> np.ndarray:
+    """Row-normalize a centroid matrix; zero rows pass through. Ranking
+    by raw dot product equals cosine ranking ONLY for unit centroids,
+    so both ANN kernels normalize here — otherwise arbitrary (e.g.
+    un-normalized externally trained) centroids would silently rank by
+    inner product while the contract and SQL oracles say cosine."""
+    cents = np.asarray(cents, dtype=np.float64)
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return cents / norms
+
+
 def _assign_udf(cents: np.ndarray):
     """Vectorized nearest-centroid assignment: one numpy matmul per
     Arrow batch (a cells×dim expression tree blows up codegen; the
     matrix product is the scale shape). Argmax ties are impossible on
     real-valued cosines, so float-summation-order differences vs the
     SQL oracle cannot flip the assignment."""
+    cents = _unit_rows(cents)
 
     @pandas_udf("int")
     def _assign(vecs: pd.Series) -> pd.Series:
@@ -289,6 +302,7 @@ def _probe_udf(cents: np.ndarray, nprobe: int):
     search). Same GEMM kernel and the same tie rule as _assign_udf —
     cosine DESC, cell DESC — so the SQL oracle's row_number() twin
     reproduces the probe list exactly."""
+    cents = _unit_rows(cents)
 
     @pandas_udf("array<int>")
     def _probe(vecs: pd.Series) -> pd.Series:

@@ -247,10 +247,14 @@ def stream_sessions(
             if last is not None and (ts - last).value // 10**6 > gap_ms:
                 closed.append({"user_id": key[0], "session_start": start,
                                "session_end": last, "n_events": n})
-                start, n = None, 0
+                start, last, n = None, None, 0
             if start is None:
-                start = ts
-            last = ts
+                start, last = ts, ts
+            else:
+                # a below-watermark late event from an earlier batch may
+                # carry ts < last: extend the open session monotonically
+                # (never move session_end backwards / start forwards)
+                start, last = min(start, ts), max(last, ts)
             n += 1
         state.update((start.to_pydatetime(), last.to_pydatetime(), int(n)))
         # naive timestamps are session-TZ UTC: epoch from .value, not

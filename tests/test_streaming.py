@@ -211,6 +211,55 @@ def test_stream_sessions_gap_close_and_timeout(spark, tmp_path):
     assert not any(u == 1 and s.startswith("2026-01-01 12:") for u, s, _e, _n in rows)
 
 
+def test_stream_sessions_late_event_keeps_session_end(spark, tmp_path):
+    """A below-watermark late event from a LATER micro-batch carrying
+    ts < the open session's last must extend the session monotonically:
+    session_end stays at the max ts seen (and start at the min), so the
+    late 10:05 arrival neither drags session_end back from 10:10 nor
+    re-times the gap from the stale event."""
+    import time
+
+    from ctinexus_spark.streaming.ingest import stream_sessions
+
+    src = str(tmp_path / "late_ev")
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id bigint, ts_s string").selectExpr(
+            "user_id", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: open session [10:00, 10:10]; watermark trails at 09:40
+    write([(1, "2026-01-01 10:00:00"), (1, "2026-01-01 10:10:00")])
+    time.sleep(1.1)
+    # batch 2: LATE event 10:05 (above watermark, below session last)
+    write([(1, "2026-01-01 10:05:00")])
+    time.sleep(1.1)
+    # batch 3: 13:00 is > gap past 10:10 → closes the session in-batch
+    write([(1, "2026-01-01 13:00:00")])
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("late_sess_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.sql("SELECT * FROM late_sess_sink").collect()
+    }
+    assert (1, "2026-01-01 10:00:00", "2026-01-01 10:10:00", 3) in rows, rows
+
+
 def test_stream_near_dups_across_batches(spark, tmp_path):
     """Stateful SimHash banding: a near-duplicate arriving in a LATER
     micro-batch pairs with the earlier document (state outlives the
