@@ -166,19 +166,34 @@ def line_dedup(
     kept_text = ''.
 
     Scale shape: explode → groupBy(md5(line)) with a struct-min
-    aggregate (partial/map-side combine, so the billion-fold repeated
-    hot line is safe — no per-key window sort) → equi-join back on the
-    hash → per-doc reassembly. `sep` is both the split regex and the
-    rejoin delimiter, so it must be a regex-literal string."""
+    aggregate that CARRIES the winning occurrence's (id, line_idx,
+    line) — partial/map-side combine collapses a billion-fold repeated
+    hot line to one row per map task, and because the winner struct
+    already holds everything reassembly needs there is NO join back on
+    the line hash: the hot key never concentrates on one reduce/join
+    partition (no AQE skew-split reliance; pinned by
+    test_plans.py::test_line_dedup_no_join_on_line_hash). `sep` is
+    both the split regex and the rejoin delimiter, so it must be a
+    regex-literal string."""
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep, -1)).alias("line_idx", "line"),
     )
+    # (i, x) is unique per occurrence, so appending the line text as a
+    # trailing struct field cannot change which occurrence wins
     winners = lines.groupBy(F.md5("line").alias("_h")).agg(
-        F.min(F.struct(F.col(id_col).alias("i"), F.col("line_idx").alias("x"))).alias("_w")
+        F.min(
+            F.struct(
+                F.col(id_col).alias("i"),
+                F.col("line_idx").alias("x"),
+                F.col("line").alias("l"),
+            )
+        ).alias("_w")
     )
-    kept = lines.join(winners, F.md5(lines["line"]) == winners["_h"]).filter(
-        (F.col(id_col) == F.col("_w.i")) & (F.col("line_idx") == F.col("_w.x"))
+    kept = winners.select(
+        F.col("_w.i").alias(id_col),
+        F.col("_w.x").alias("line_idx"),
+        F.col("_w.l").alias("line"),
     )
     agg = kept.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("n_kept"),

@@ -232,6 +232,22 @@ def test_pack_plan_no_shard_only_window_over_rows(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_line_dedup_no_join_on_line_hash(spark):
+    """The winner struct carries (id, line_idx, line), so there must be
+    NO join keyed on the line hash — a billion-fold boilerplate line
+    would concentrate every probe-side copy on one join partition. The
+    only join left is the per-doc left join on the (unique) doc id;
+    the hot key is collapsed map-side by the partial aggregate."""
+    plan = plan_of(dq.QUERIES["line_dedup"](spark, SF))
+    hash_join_lines = [
+        ln for ln in plan.splitlines() if "Join" in ln and "_h" in ln
+    ]
+    assert not hash_join_lines, hash_join_lines
+    # the winners aggregation is partial: an aggregate on both sides of
+    # its exchange (map-side combine eats the hot line before shuffle)
+    assert plan.count("Aggregate") >= 2
+
+
 def test_vocab_topk_is_take_ordered(spark):
     """Global top-k must plan as TakeOrderedAndProject (per-partition
     heaps), not a global Sort of the whole vocabulary."""

@@ -239,6 +239,31 @@ def test_pack_documents_contiguous_blocks(spark):
     assert all(r.n_tokens == 100 for r in got)
 
 
+def test_line_dedup_hot_line_across_corpus(spark):
+    """One boilerplate line repeated across 30% of documents (the
+    'enable JavaScript' shape): the job completes without routing every
+    copy through one partition (the winners aggregate combines it
+    map-side) and only the first occurrence survives."""
+    from ctinexus_spark.operators.prepare import line_dedup
+
+    hot = "please enable javascript to view this page"
+    rows = []
+    for i in range(300):
+        body = f"unique line {i} alpha\nunique line {i} beta"
+        rows.append((i, f"{hot}\n{body}" if i % 3 == 0 else body))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert len(got) == 300
+    # doc 0 is the lexicographic first (id, idx) holder of the hot line
+    assert got[0].kept_text.startswith(hot) and got[0].n_kept == 3
+    # every other hot-line doc loses exactly that one line
+    for i in range(3, 300, 3):
+        assert got[i].n_lines == 3 and got[i].n_kept == 2, i
+        assert hot not in got[i].kept_text
+    # non-hot docs keep everything
+    assert got[1].n_kept == 2 and got[1].n_lines == 2
+
+
 def test_pack_documents_multi_shard_cross_partition(spark):
     """The range-repartitioned cumsum must equal the per-shard global
     cumsum even when a shard spans several range partitions."""
