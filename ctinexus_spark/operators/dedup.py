@@ -194,6 +194,8 @@ SIMHASH_BITS = 48
 
 
 def _simhash_one(tokens: list[str], bits: int = SIMHASH_BITS) -> int:
+    """Scalar reference kernel (tests + documentation of the exact
+    bit semantics); the hot path is _simhash_batch."""
     acc = [0] * bits
     for t in tokens:
         h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[: bits // 4], 16)
@@ -206,13 +208,42 @@ def _simhash_one(tokens: list[str], bits: int = SIMHASH_BITS) -> int:
     return v
 
 
+def _simhash_batch(texts, bits: int = SIMHASH_BITS) -> "pd.Series":
+    """Vectorized SimHash over one Arrow batch of texts, bit-identical
+    to _simhash_one: Python md5 runs once per DISTINCT token in the
+    batch (np.unique collapses the Zipfian repeat mass); the per-token
+    ±1 sign matrix, per-doc sign sums (add.reduceat over the flat
+    token stream), and the sign→bit fold are all numpy."""
+    import numpy as np
+
+    tok_lists = [(t or "").split(" ") for t in texts]
+    if not tok_lists:
+        return pd.Series([], dtype="int64")
+    counts = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64, count=len(tok_lists))
+    flat = np.asarray([t for tl in tok_lists for t in tl], dtype=object)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    nhex = bits // 4
+    hs = np.fromiter(
+        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:nhex], 16) for t in uniq),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    js = np.arange(bits, dtype=np.int64)
+    signs = (((hs[:, None] >> js[None, :]) & 1) * 2 - 1).astype(np.int32)
+    offsets = np.zeros(len(tok_lists), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    acc = np.add.reduceat(signs[inv], offsets, axis=0)
+    v = ((acc > 0).astype(np.int64) << js[None, :]).sum(axis=1)
+    return pd.Series(v)
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash bigint) — 48-bit sign-sum sketch (Arrow-batched)."""
     from ctinexus_spark.partitioning import ensure_parallelism
 
     @pandas_udf("bigint")
     def _sh(texts: pd.Series) -> pd.Series:
-        return pd.Series([_simhash_one((t or "").split(" ")) for t in texts])
+        return _simhash_batch(texts)
 
     return ensure_parallelism(docs).select(F.col(id_col), _sh(F.col(text_col)).alias("simhash"))
 

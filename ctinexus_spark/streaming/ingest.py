@@ -139,14 +139,14 @@ def stream_near_dups(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from ctinexus_spark.operators.dedup import SIMHASH_BITS, _simhash_one
+    from ctinexus_spark.operators.dedup import SIMHASH_BITS, _simhash_batch
 
     width = SIMHASH_BITS // bands
     mask = (1 << width) - 1
 
     @pandas_udf("bigint")
     def _sh(texts: pd.Series) -> pd.Series:
-        return pd.Series([_simhash_one((t or "").split(" ")) for t in texts])
+        return _simhash_batch(texts)
 
     chunks = F.array(
         *[

@@ -2,7 +2,35 @@
 pair within the hamming bound (pigeonhole guarantee) and the exact
 filter must reject distant pairs."""
 
-from ctinexus_spark.operators.dedup import _simhash_one, simhash_candidates
+from ctinexus_spark.operators.dedup import (
+    _simhash_batch,
+    _simhash_one,
+    simhash_candidates,
+)
+
+
+def test_vectorized_kernel_bit_identical_to_scalar():
+    """The numpy batch kernel (md5 once per distinct token, sign sums
+    via add.reduceat) must reproduce the scalar reference bit for bit —
+    the sketch feeds hash-matched oracles and cross-batch stream state."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts = ["alpha beta gamma", "", "alpha alpha alpha", "one-token",
+             "the quick brown fox " * 50, "  double  spaces  "]
+    got = _simhash_batch(pd.Series(texts))
+    assert [_simhash_one((t or "").split(" ")) for t in texts] == list(got)
+    assert list(_simhash_batch(pd.Series([], dtype=object))) == []
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.text(alphabet="ab x", min_size=0, max_size=30), min_size=1, max_size=8))
+    def fuzz(batch):
+        assert [_simhash_one((t or "").split(" ")) for t in batch] == list(
+            _simhash_batch(pd.Series(batch, dtype=object))
+        )
+
+    fuzz()
 
 
 def test_near_dup_found_far_pair_rejected(spark):
