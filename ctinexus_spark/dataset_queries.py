@@ -496,6 +496,45 @@ def q_part_triangles(spark, sf_dir):
     return triangle_counts(edges)
 
 
+def q_part_pagerank(spark, sf_dir):
+    """PageRank over the supplier→part shipment graph (who supplies
+    what; ranks parts by weighted in-links). Iterative float scoring —
+    shuffle-sum order varies in the last ulp, so this is a rows-only
+    contract entry (no SQL twin); the algebra is pinned to 1e-9 by
+    tests/test_graph_and_skew.py against a numpy power iteration."""
+    from ctinexus_spark.graph.analytics import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_suppkey", "l_partkey")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    return pagerank(edges, iterations=5).select(
+        "vertex", F.round(F.col("rank"), 9).alias("rank_r9")
+    )
+
+
+def q_part_kcore(spark, sf_dir):
+    """80-core of the part co-occurrence graph (parts sharing an
+    order) — the dense-cluster extraction peel; at sf0.01 the peel
+    cascades 143 parts away (degrees run 42-206, so k=80 bites without
+    collapsing the graph). Integer output, deterministic; iterative
+    fixpoint has no SQL twin (rows-only contract entry; exact peel
+    semantics pinned by tests/test_graph_and_skew.py)."""
+    from ctinexus_spark.graph.analytics import k_core
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return k_core(edges, k=80)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-language sampling quotas (md5-threshold per
     stratum) — the reproducible eval-split / rebalance primitive."""
@@ -572,6 +611,29 @@ def q_vocab_topk(spark, sf_dir):
     """Top-20 token-frequency vocabulary (tokenizer-induction step
     one); global top-k planned as TakeOrderedAndProject."""
     return T.vocab_topk(_docs(spark, sf_dir), k=20)
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Top-100 adjacent pre-tokenization piece pairs — the BPE merge-
+    candidate table (the count a BPE trainer maximizes per merge)."""
+    return T.bpe_merge_pairs(_docs(spark, sf_dir), k=100)
+
+
+def q_token_pmi(spark, sf_dir):
+    """Top-100 adjacent-token collocations by the PMI ratio
+    p(a,b)/(p(a)p(b)) — phrase-mining over the corpus; the ratio is a
+    fixed-order IEEE chain so both engines agree bit-for-bit."""
+    return T.token_pmi(_docs(spark, sf_dir), min_count=3, k=100)
+
+
+def q_dup_grams(spark, sf_dir):
+    """Cross-document duplicated-text fraction per doc (Lee et al.
+    2022 measurement) over 3-grams — the sf corpus has no shared
+    8-grams but ~19% repeated 3-token spans, so 3 is the
+    discriminating width here."""
+    from ctinexus_spark.operators.prepare import dup_gram_fraction
+
+    return dup_gram_fraction(_docs(spark, sf_dir), n=3)
 
 
 # --- oracle SQL ---------------------------------------------------------
@@ -938,6 +1000,86 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{T.BPE_SPLIT_PATTERN}')) AS DOUBLE)
          / CAST(len({_TOKS}) AS DOUBLE) AS pieces_per_word
 FROM documents
+""",
+    "bpe_merges": f"""
+WITH p AS (
+  SELECT regexp_extract_all(text, '{T.BPE_SPLIT_PATTERN}') AS l FROM documents
+),
+pr AS (
+  SELECT l[i] AS "left", l[i + 1] AS "right"
+  FROM p, unnest(range(1, len(l))) t(i)
+  WHERE len(l) >= 2
+),
+f AS (
+  SELECT "left", "right", CAST(count(*) AS BIGINT) AS freq
+  FROM pr GROUP BY "left", "right"
+  ORDER BY freq DESC, "left", "right" LIMIT 100
+)
+SELECT "left", "right", freq,
+       CAST(row_number() OVER (ORDER BY freq DESC, "left", "right") AS INT) AS rank
+FROM f
+""",
+    "token_pmi": f"""
+WITH tk AS (SELECT {_TOKS} AS l FROM documents),
+w AS (SELECT unnest(l) AS w FROM tk),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM w GROUP BY w),
+pr AS (
+  SELECT l[i] AS "left", l[i + 1] AS "right"
+  FROM tk, unnest(range(1, len(l))) t(i)
+  WHERE len(l) >= 2
+),
+pc AS (
+  SELECT "left", "right", CAST(count(*) AS BIGINT) AS n_pair
+  FROM pr GROUP BY "left", "right"
+),
+tot AS (
+  SELECT CAST((SELECT count(*) FROM w) AS DOUBLE) AS n_tokens,
+         CAST((SELECT count(*) FROM pr) AS DOUBLE) AS n_pairs
+),
+j AS (
+  SELECT pc."left", pc."right", pc.n_pair,
+         ul.n_w AS n_left, ur.n_w AS n_right,
+         CAST(pc.n_pair AS DOUBLE) * t.n_tokens * t.n_tokens
+           / (t.n_pairs * CAST(ul.n_w AS DOUBLE) * CAST(ur.n_w AS DOUBLE)) AS pmi_ratio
+  FROM pc
+  JOIN uni ul ON pc."left" = ul.w
+  JOIN uni ur ON pc."right" = ur.w
+  CROSS JOIN tot t
+  WHERE pc.n_pair >= 3
+),
+top AS (
+  SELECT * FROM j ORDER BY pmi_ratio DESC, "left", "right" LIMIT 100
+)
+SELECT "left", "right", n_pair, n_left, n_right, pmi_ratio,
+       CAST(row_number() OVER (ORDER BY pmi_ratio DESC, "left", "right") AS INT) AS rank
+FROM top
+""",
+    "dup_grams": f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len({_TOKS}) >= 3 THEN
+           list_distinct(list_transform(range(1, len({_TOKS}) - 1),
+             i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' ')))
+         ELSE [] END AS grams
+  FROM documents
+),
+dg AS (
+  SELECT doc_id, md5(gr) AS gh
+  FROM (SELECT doc_id, unnest(grams) AS gr FROM g)
+),
+nd AS (SELECT gh, CAST(count(*) AS BIGINT) AS n_docs FROM dg GROUP BY gh),
+s AS (
+  SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN nd.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM dg JOIN nd USING (gh) GROUP BY dg.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+       CASE WHEN coalesce(s.n_grams, 0) > 0
+            THEN CAST(coalesce(s.n_shared, 0) AS DOUBLE) / CAST(s.n_grams AS DOUBLE)
+            ELSE 0.0 END AS dup_fraction
+FROM documents d LEFT JOIN s USING (doc_id)
 """,
     "winnow_fp": f"""
 WITH sh AS (
@@ -1436,6 +1578,11 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "domain_cap": q_domain_cap,
     "dsir_features": q_dsir_features,
+    "bpe_merges": q_bpe_merges,
+    "token_pmi": q_token_pmi,
+    "dup_grams": q_dup_grams,
+    "part_pagerank": q_part_pagerank,
+    "part_kcore": q_part_kcore,
 }
 
 ORACLES["dedup_clusters_stars"] = ORACLES["dedup_clusters_cc"]

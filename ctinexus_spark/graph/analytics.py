@@ -18,6 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ctinexus_spark.partitioning import barrier
+
+CHECKPOINT_EVERY = 3
+
 
 def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """edges(src, dst) (directions/duplicates/self-loops ignored) →
@@ -68,3 +72,118 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .unionByName(tri.select(F.col("t2").alias("vertex")))
     )
     return verts.groupBy("vertex").agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """edges(src, dst) directed (duplicates collapsed) → (vertex, rank)
+    with sum(rank) = 1 — the link-authority score a web-corpus pipeline
+    ranks domains/pages with (and the KG analogue ranks entities with).
+
+    Fixed iteration count: one equi-join on src + one partial-
+    aggregated groupBy(dst) per round — the textbook scale shape, no
+    driver-side per-vertex state. Dangling mass (vertices with no
+    out-edges) is a one-row scalar aggregate per round, redistributed
+    uniformly. Lineage is truncated via barrier() every
+    CHECKPOINT_EVERY rounds — without it the plan doubles per
+    iteration. Ranks are float shuffle-sums, so last-ulp bits vary with
+    partition order: no SQL-oracle twin (rows-only contract check);
+    tests assert analytic values to 1e-9.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).filter(
+        F.col("s").isNotNull() & F.col("t").isNotNull()
+    ).distinct()
+    verts = (
+        e.select(F.col("s").alias("vertex"))
+        .unionByName(e.select(F.col("t").alias("vertex")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+    outd = e.groupBy("s").agg(F.count("*").cast("double").alias("outd"))
+    # edge weight 1/outdeg, fixed for all rounds
+    w = barrier(
+        e.join(outd, "s").select("s", "t", (F.lit(1.0) / F.col("outd")).alias("w"))
+    )
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for it in range(iterations):
+        contribs = (
+            w.join(ranks.select(F.col("vertex").alias("s"), "rank"), "s")
+            .groupBy(F.col("t").alias("vertex"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        dangling = (
+            ranks.join(outd.select(F.col("s").alias("vertex")), "vertex", "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        ranks = verts.join(contribs, "vertex", "left").select(
+            "vertex",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("rank"),
+        )
+        if (it + 1) % CHECKPOINT_EVERY == 0 and it + 1 < iterations:
+            ranks = barrier(ranks)
+    verts.unpersist()
+    return ranks
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 100,
+) -> DataFrame:
+    """edges(src, dst) undirected (directions/duplicates/self-loops
+    collapsed) → (vertex, degree) for the k-core: the maximal subgraph
+    where every vertex keeps degree ≥ k — the standard dense-cluster /
+    spam-farm extraction on link graphs.
+
+    Iterative peel: degrees are a partial-aggregated groupBy, removal
+    is a broadcast-friendly anti-join of edges against the below-k
+    vertex set, repeated to fixpoint. Each round strictly shrinks the
+    edge set; lineage truncated via barrier() every CHECKPOINT_EVERY
+    rounds. Integer output — deterministic. Raises RuntimeError if the
+    peel does not converge within max_iterations (components.py
+    precedent: never silently return a wrong core).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    cur = barrier(e)
+    for it in range(max_iterations):
+        deg = (
+            cur.select(F.col("u").alias("x"))
+            .unionByName(cur.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count("*").cast("bigint").alias("d"))
+        )
+        low = deg.filter(F.col("d") < k).select("x")
+        n_low = low.count()
+        if n_low == 0:
+            return deg.select(F.col("x").alias("vertex"), F.col("d").alias("degree"))
+        cur = (
+            cur.join(low.select(F.col("x").alias("u")), "u", "left_anti")
+            .join(low.select(F.col("x").alias("v")), "v", "left_anti")
+        )
+        if (it + 1) % CHECKPOINT_EVERY == 0:
+            cur = barrier(cur)
+    raise RuntimeError(
+        f"k_core did not converge within {max_iterations} peel rounds"
+    )

@@ -63,40 +63,50 @@ def connected_components(
         .persist()
     )
     labels.count()
+    pinned = labels  # the currently-persisted round frame (unpersist target)
 
+    label_type = dict(labels.dtypes)["component"]
     converged = False
     for it in range(max_iterations):
-        # candidate labels: own label ∪ neighbors' labels
+        # candidate labels: own label ∪ neighbors' labels.  The own row
+        # carries its previous label in `old` (neighbors carry NULL), so
+        # ONE aggregation yields both the new min-label AND the
+        # convergence flag — no separate new-vs-old join per round (the
+        # join was pure latency: each round paid an extra shuffle just
+        # to ask "did anything change?").
         neighbor_labels = (
             sym.join(labels.withColumnRenamed("vertex", "b"), "b")
-            .select(F.col("a").alias("vertex"), "component")
+            .select(
+                F.col("a").alias("vertex"),
+                "component",
+                F.lit(None).cast(label_type).alias("old"),
+            )
         )
-        new_labels = (
-            labels.unionByName(neighbor_labels)
+        own = labels.select("vertex", "component", F.col("component").alias("old"))
+        flagged = (
+            own.unionByName(neighbor_labels)
             .groupBy("vertex")
-            .agg(F.min("component").alias("component"))
+            # max(old) ignores the neighbor NULLs: exactly the own label
+            .agg(F.min("component").alias("component"), F.max("old").alias("old"))
         )
         if (it + 1) % CHECKPOINT_EVERY == 0:
-            new_labels = barrier(new_labels)
+            flagged = barrier(flagged)
         else:
-            new_labels = new_labels.persist()
+            flagged = flagged.persist()
 
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            flagged.filter(F.col("component") != F.col("old")).limit(1).count()
         )
-        labels.unpersist()
-        labels = new_labels
+        pinned.unpersist()
+        pinned = flagged  # unpersist must target the persisted plan, not a projection
+        labels = flagged.drop("old")
         if changed == 0:
             converged = True
             break
 
     sym.unpersist()
     if not converged:
-        labels.unpersist()
+        pinned.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             "iterations — graph diameter exceeds the round budget; raise "
@@ -106,7 +116,7 @@ def connected_components(
     # be released now (a returned lazy persist would leak in the cache
     # manager until an unpersist the caller never knows to issue)
     result = barrier(labels.select("vertex", "component"))
-    labels.unpersist()
+    pinned.unpersist()
     return result
 
 

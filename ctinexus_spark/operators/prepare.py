@@ -296,6 +296,58 @@ def decontaminate(
     )
 
 
+def dup_gram_fraction(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_grams, n_shared, dup_fraction) — the cross-document
+    duplicated-text measurement (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    the fraction of its distinct whitespace n-grams that also occur in
+    at least one OTHER document. High dup_fraction = boilerplate /
+    templated / near-copied text that survives document-level dedup.
+
+    Scale shape: self-decontamination. Distinct (doc, md5(gram)) pairs
+    (per-doc distinct collapses within-doc repeats before any
+    shuffle) → groupBy(gram) doc-count with partial aggregation → one
+    equi-join back on the fixed-width gram hash → per-doc counts. A
+    boilerplate-hot gram's probe side is one row per CONTAINING doc
+    (already distinct), and AQE skew-join splitting covers the
+    residual imbalance."""
+    from ctinexus_spark.operators.dedup import shingle_col
+
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(shingle_col(text_col, n)).alias("_g")
+    ).select(id_col, F.md5("_g").alias("_gh"))
+    gram_docs = doc_grams.groupBy("_gh").agg(F.count("*").cast("bigint").alias("_nd"))
+    per_doc = (
+        doc_grams.join(gram_docs, "_gh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum((F.col("_nd") >= 2).cast("bigint")).cast("bigint").alias("n_shared"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0).cast("bigint")).alias("n_shared"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     strata_col: str,

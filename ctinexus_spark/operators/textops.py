@@ -396,6 +396,124 @@ def vocab_topk(docs: DataFrame, k: int = 500, text_col: str = "text") -> DataFra
     return freq.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def bpe_merge_pairs(docs: DataFrame, k: int = 200, text_col: str = "text") -> DataFrame:
+    """(left, right, freq, rank) — the BPE merge-candidate table: the
+    corpus's most frequent ADJACENT pre-tokenization piece pairs (the
+    count a BPE trainer maximizes at every merge step; the top row is
+    the next merge). Pieces come from the same RE2-safe lexer as
+    bpe_token_estimate, so one vocabulary story covers counting and
+    merge induction. Ties break on (left, right) strings — total,
+    engine-portable order.
+
+    Scale shape: regexp pieces per doc (JVM) → adjacent-pair explode →
+    partial-aggregated groupBy → TakeOrderedAndProject top-k (the
+    vocab_topk plan); the rank window runs after the limit, over k
+    rows only."""
+    from pyspark.sql import Window
+
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), 0)
+    n = F.size(pieces)
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.struct(
+                        F.element_at(pieces, i + 1).alias("left"),
+                        F.element_at(pieces, i + 2).alias("right"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+        ).alias("p")
+    ).select(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+    freq = (
+        pairs.groupBy("left", "right")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), "left", "right")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("freq").desc(), "left", "right")
+    return freq.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def token_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """(left, right, n_pair, n_left, n_right, pmi_ratio, rank) — the
+    collocation table: adjacent whitespace-token pairs ranked by the
+    pointwise-mutual-information ratio p(a,b)/(p(a)p(b)) =
+    (n_pair·N·N)/(P·n_a·n_b) with N = corpus tokens, P = corpus
+    adjacent pairs. The standard phrase-mining signal (word2vec-style
+    phrase joining, multi-word-entity induction). min_count drops the
+    unstable low-frequency tail BEFORE ranking.
+
+    The ratio is emitted instead of log-PMI: it is one fixed-order
+    chain of IEEE multiplies/divides of integer-valued doubles, so
+    both engines agree bit-for-bit (libm vs JVM log differ in the last
+    ulp — the lm_scores precedent). Monotone in PMI, so the ranking is
+    the PMI ranking.
+
+    Scale shape: pair/unigram counts are partial-aggregated groupBys;
+    the two scalar totals come to the driver (two numbers); unigram
+    attachment is two equi-joins on the token key; top-k is
+    TakeOrderedAndProject. No windows over row-level data."""
+    from pyspark.sql import Window
+
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.struct(
+                        F.element_at(toks, i + 1).alias("left"),
+                        F.element_at(toks, i + 2).alias("right"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+        ).alias("p")
+    ).select(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+    words = docs.select(F.explode(toks).alias("w"))
+    uni = words.groupBy("w").agg(F.count("*").cast("bigint").alias("n_w"))
+    pc = pairs.groupBy("left", "right").agg(F.count("*").cast("bigint").alias("n_pair"))
+
+    n_tokens = words.count()
+    n_pairs_total = pairs.count()
+
+    joined = (
+        pc.filter(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("w").alias("left"), F.col("n_w").alias("n_left")), "left")
+        .join(uni.select(F.col("w").alias("right"), F.col("n_w").alias("n_right")), "right")
+    )
+    # fixed-order chain, mirrored exactly in the SQL oracle
+    ratio = (
+        F.col("n_pair").cast("double")
+        * F.lit(float(n_tokens))
+        * F.lit(float(n_tokens))
+        / (
+            F.lit(float(n_pairs_total))
+            * F.col("n_left").cast("double")
+            * F.col("n_right").cast("double")
+        )
+    )
+    top = (
+        joined.withColumn("pmi_ratio", ratio)
+        .orderBy(F.col("pmi_ratio").desc(), "left", "right")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("pmi_ratio").desc(), "left", "right")
+    return top.select(
+        "left", "right", "n_pair", "n_left", "n_right", "pmi_ratio",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
 def lang_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Language-ID heuristic features: English stopword hit-rate and
     ascii-letter ratio. (A full lang-id model would be a broadcast

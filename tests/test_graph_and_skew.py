@@ -90,6 +90,77 @@ class TestStarsComponents:
         assert got["lone"] == "lone"
 
 
+class TestPageRank:
+    def test_matches_numpy_power_iteration(self, spark):
+        """Same damping, same iteration count, same dangling rule as a
+        dense numpy power iteration — agreement to 1e-9 (the float
+        shuffle-sum only moves last-ulp bits)."""
+        import numpy as np
+
+        from ctinexus_spark.graph.analytics import pagerank
+
+        edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]  # 3 is a source, none dangling? no: all have out
+        edges += [(2, 4)]  # 4 is dangling (no out-edges)
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {r.vertex: r.rank for r in pagerank(df, iterations=10).collect()}
+
+        n, d = 5, 0.85
+        adj = {0: [1, 2], 1: [2], 2: [0, 4], 3: [2], 4: []}
+        r = np.full(n, 1.0 / n)
+        for _ in range(10):
+            contrib = np.zeros(n)
+            dangling = 0.0
+            for s, outs in adj.items():
+                if not outs:
+                    dangling += r[s]
+                for t in outs:
+                    contrib[t] += r[s] / len(outs)
+            r = (1 - d) / n + d * (contrib + dangling / n)
+        for v in range(n):
+            assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
+        # authority orders as expected: 2 has the most in-links
+        assert max(got, key=got.get) == 2
+
+    def test_empty_graph(self, spark):
+        from ctinexus_spark.graph.analytics import pagerank
+
+        df = spark.createDataFrame([], "src bigint, dst bigint")
+        assert pagerank(df).count() == 0
+
+
+class TestKCore:
+    def test_peels_to_dense_core(self, spark):
+        from ctinexus_spark.graph.analytics import k_core
+
+        # K4 clique + a pendant chain hanging off vertex 0
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        chain = [(0, 10), (10, 11), (11, 12)]
+        df = spark.createDataFrame(k4 + chain, "src bigint, dst bigint")
+        got = {r.vertex: r.degree for r in k_core(df, k=3).collect()}
+        # 3-core = exactly the K4; every member has in-core degree 3
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+        # 2-core: chain still peels (endpoint degree 1 cascades)
+        got2 = {r.vertex for r in k_core(df, k=2).collect()}
+        assert got2 == {0, 1, 2, 3}
+
+    def test_whole_graph_peels_away(self, spark):
+        from ctinexus_spark.graph.analytics import k_core
+
+        chain = spark.createDataFrame([(i, i + 1) for i in range(6)], "src bigint, dst bigint")
+        assert k_core(chain, k=2).count() == 0
+
+    def test_cascading_peel_rounds(self, spark):
+        """A long chain attached to a triangle forces one peel round
+        per chain link — exercises the iterative fixpoint + barrier."""
+        from ctinexus_spark.graph.analytics import k_core
+
+        tri = [(100, 101), (101, 102), (100, 102)]
+        chain = [(100, 0)] + [(i, i + 1) for i in range(9)]
+        df = spark.createDataFrame(tri + chain, "src bigint, dst bigint")
+        got = {r.vertex for r in k_core(df, k=2).collect()}
+        assert got == {100, 101, 102}
+
+
 class TestSkew:
     def test_salt_range_and_determinism(self, spark):
         df = spark.createDataFrame([(f"u{i}",) for i in range(100)], "url string")
