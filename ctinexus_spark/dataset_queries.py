@@ -1746,4 +1746,7 @@ BENCH_QUERIES = {
     "dedup_lines": q_line_dedup,
     "decontaminate": q_decontaminate,
     "tpch_q1": q_tpch_q1,
+    "dup_grams": q_dup_grams,
+    "token_pmi": q_token_pmi,
+    "graph_pagerank": q_part_pagerank,
 }

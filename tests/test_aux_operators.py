@@ -149,3 +149,30 @@ def test_barrier_prefers_reliable_checkpoint_when_dir_set(spark, monkeypatch):
     )
     barrier(df)
     assert calls == ["local", "reliable"]
+
+
+def test_star_edges_component_equivalent_to_pair_edges(spark):
+    """lsh_star_edges (linear per bucket) must induce EXACTLY the same
+    connected components as the quadratic pair join — the keep-list
+    funnel's correctness hinges on this equivalence."""
+    from pyspark.sql import functions as F
+
+    from ctinexus_spark.graph.components import connected_components
+    from ctinexus_spark.operators.dedup import lsh_candidates, lsh_star_edges
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = []
+    for i in range(12):  # 12 near-identical docs → one fat cluster
+        rows.append((i, base + f" tail{i % 2}"))
+    rows += [(100 + i, f"totally different document number {i} with words "
+              + " ".join(f"w{i}{j}" for j in range(20))) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    pair_edges = lsh_candidates(docs)
+    star_edges = lsh_star_edges(docs)
+    a = {r.vertex: r.component for r in connected_components(pair_edges, "a_id", "b_id").collect()}
+    b = {r.vertex: r.component for r in connected_components(star_edges, "a_id", "b_id").collect()}
+    assert a == b and a, (a, b)
+    # and the star set is strictly smaller on the fat cluster
+    assert star_edges.count() < pair_edges.count()
