@@ -34,6 +34,7 @@ _ROTATE_FIRST = [
     "dup_grams",
     "part_pagerank",
     "part_kcore",
+    "semantic_dedup",
     "pack_plan",
     "simhash",
     "simhash_candidates",

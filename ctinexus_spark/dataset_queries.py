@@ -217,6 +217,15 @@ def q_ivf_topk(spark, sf_dir):
     return S.ivf_topk(_emb(spark, sf_dir))
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup keep-list: IVF cells as blocks, within-cell cosine >=
+    0.3 edges (value-rich on the random-vector corpus), distributed CC,
+    min-id survivors — the embedding-space analogue of dedup_keeplist."""
+    from ctinexus_spark.operators.dedup import semantic_dedup_keeplist
+
+    return semantic_dedup_keeplist(_emb(spark, sf_dir), threshold=0.3)
+
+
 def q_rand_proj(spark, sf_dir):
     from ctinexus_spark.operators.quantize import random_projection
 
@@ -1291,6 +1300,35 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
 WITH {_IVF_ASSIGN_SQL}
 SELECT vec_id, cell FROM assign
 """,
+    # semantic_dedup: SemDeDup keep-list — IVF-cell blocking, in-cell
+    # cosine edges, recursive-CTE transitive closure, min-id survivors
+    "semantic_dedup": f"""
+WITH RECURSIVE {_IVF_ASSIGN_SQL},
+okc AS (SELECT cell FROM assign GROUP BY cell HAVING count(*) <= {S.MAX_CELL}),
+mem AS (
+  SELECT e.vec_id, e.embedding, a.cell
+  FROM embeddings e JOIN assign a USING (vec_id) JOIN okc USING (cell)
+),
+cand AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM mem a JOIN mem b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+),
+sym AS (
+  SELECT a_id AS a, b_id AS b FROM cand
+  UNION
+  SELECT b_id AS a, a_id AS b FROM cand
+),
+verts AS (SELECT DISTINCT a AS v FROM sym),
+reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT reach.v, s.b FROM reach JOIN sym s ON reach.r = s.a
+),
+cc AS (SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vertex FROM cc WHERE vertex != component)
+""",
     "ivf_topk": f"""
 WITH {_IVF_ASSIGN_SQL},
 probes AS (
@@ -1583,6 +1621,7 @@ QUERIES = {
     "dup_grams": q_dup_grams,
     "part_pagerank": q_part_pagerank,
     "part_kcore": q_part_kcore,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES["dedup_clusters_stars"] = ORACLES["dedup_clusters_cc"]

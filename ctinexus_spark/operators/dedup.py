@@ -359,6 +359,58 @@ def dedup_keep_list(
     return docs.select(id_col).join(drops, id_col, "left_anti")
 
 
+def semantic_dedup_keeplist(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    cells: int | None = None,
+    centroids: list[list[float]] | None = None,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) keep-list: cluster embeddings with
+    the IVF coarse quantizer, connect within-cell pairs whose cosine
+    clears `threshold`, and keep exactly the minimum-id member of each
+    semantic-duplicate component (plus everything unclustered). The
+    embedding-space analogue of the MinHash keep-list — what prunes
+    paraphrased/templated text that lexical dedup cannot see.
+
+    Scale shape: cell assignment is one Arrow GEMM pass; pair scoring
+    is a cell-bucketed equi-join bounded by max_cell (a degenerate hot
+    cell is dropped, same guard as ivf_topk); clustering is the
+    distributed CC operator. cells should track corpus size
+    (suggest_ivf_cells) so in-cell pair cost stays ~n²/cells."""
+    from ctinexus_spark.graph.components import connected_components
+    from ctinexus_spark.operators.similarity import (
+        MAX_CELL,
+        N_IVF_CELLS,
+        cap_buckets,
+        cosine_expr,
+        ivf_assign,
+    )
+    from ctinexus_spark.partitioning import barrier
+
+    cells = cells if cells is not None else N_IVF_CELLS
+    max_cell = max_cell if max_cell is not None else MAX_CELL
+    cellmap = ivf_assign(embeddings, id_col, vec_col, cells=cells, centroids=centroids)
+    withc = barrier(embeddings.join(cellmap, id_col))
+    capped = cap_buckets(withc, ["cell"], max_cell)
+    a = capped.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "cell")
+    b = capped.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "cell")
+    edges = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cosine_expr("a_vec", "b_vec").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id")
+    )
+    comps = connected_components(edges, "a_id", "b_id")
+    drops = comps.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias(id_col)
+    )
+    return embeddings.select(id_col).join(drops, id_col, "left_anti")
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     id_col: str = "vec_id",

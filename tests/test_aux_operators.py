@@ -176,3 +176,29 @@ def test_star_edges_component_equivalent_to_pair_edges(spark):
     assert a == b and a, (a, b)
     # and the star set is strictly smaller on the fat cluster
     assert star_edges.count() < pair_edges.count()
+
+
+def test_semantic_dedup_keeps_min_id_per_cluster(spark):
+    """SemDeDup keep-list: near-identical embedding groups collapse to
+    their min id; singletons survive untouched."""
+    import numpy as np
+
+    from ctinexus_spark.operators.dedup import semantic_dedup_keeplist
+
+    rng = np.random.RandomState(7)
+
+    def unit(v):
+        v = np.asarray(v, dtype=float)
+        return (v / np.linalg.norm(v)).tolist()
+
+    base_a, base_b = rng.randn(64), rng.randn(64)
+    rows = []
+    for i in range(3):  # cluster A: ids 10,11,12 (tiny jitter)
+        rows.append((10 + i, unit(base_a + 0.01 * rng.randn(64))))
+    for i in range(2):  # cluster B: ids 20,21
+        rows.append((20 + i, unit(base_b + 0.01 * rng.randn(64))))
+    for i in range(4):  # singletons: random directions
+        rows.append((30 + i, unit(rng.randn(64))))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    kept = {r.vec_id for r in semantic_dedup_keeplist(emb, threshold=0.95).collect()}
+    assert kept == {10, 20, 30, 31, 32, 33}, kept
