@@ -120,19 +120,27 @@ def pagerank(
             .groupBy(F.col("t").alias("vertex"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
+        # dangling mass as a LAZY broadcast 1-row aggregate — a per-round
+        # collect() would force a driver-synced job per iteration; this
+        # way the whole power iteration runs as one job between barriers
         dangling = (
             ranks.join(outd.select(F.col("s").alias("vertex")), "vertex", "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
-        ranks = verts.join(contribs, "vertex", "left").select(
-            "vertex",
-            (
-                F.lit(base)
-                + F.lit(damping)
-                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
-            ).alias("rank"),
+        ranks = (
+            verts.join(contribs, "vertex", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "vertex",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("_dang") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
         )
         if (it + 1) % CHECKPOINT_EVERY == 0 and it + 1 < iterations:
             ranks = barrier(ranks)

@@ -278,6 +278,49 @@ def stream_sessions(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the click-attribution
+    shape: every `right` event joins the `left` events of the same key
+    whose timestamp precedes it by at most `within` (e.g. impressions
+    joined to the clicks they caused). Both sides carry watermarks so
+    Spark can BOUND the join state: a buffered left row is evicted once
+    the right watermark passes left_ts + within — the state-cleanup
+    contract an unwatermarked stream join (unbounded buffer) cannot
+    give. Output: (key, left_ts, right_ts, lag_seconds).
+
+    Scale shape: the join is key-partitioned state-store lookup work —
+    no cross-key traffic; state size is bounded by within × rate per
+    key."""
+    lt, rt = F.col("l_ts"), F.col("r_ts")
+    l = (
+        left.select(F.col(key).alias("l_key"), F.col(left_ts).alias("l_ts"))
+        .withWatermark("l_ts", watermark)
+    )
+    r = (
+        right.select(F.col(key).alias("r_key"), F.col(right_ts).alias("r_ts"))
+        .withWatermark("r_ts", watermark)
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (lt <= rt)
+        & (rt <= lt + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond).select(
+        F.col("l_key").alias(key),
+        F.col("l_ts").alias("left_ts"),
+        F.col("r_ts").alias("right_ts"),
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).cast("bigint").alias("lag_seconds"),
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "10 minutes",

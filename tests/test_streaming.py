@@ -297,3 +297,44 @@ def test_stream_near_dups_across_batches(spark, tmp_path):
     pairs = {(r.a_id, r.b_id) for r in spark.sql("SELECT * FROM nd_sink").collect()}
     assert ("a1", "b2") in pairs
     assert not any("z1" in p for p in pairs)
+
+
+def test_stream_interval_join_attributes_within_window(spark, tmp_path):
+    """Stream-stream interval join: a click joins only the impressions
+    of the same user within the preceding 15 minutes — cross-batch
+    (impression in batch 1, click in batch 2) and within-batch pairs
+    both land; stale impressions (> within) never match."""
+    import time
+
+    from ctinexus_spark.streaming.ingest import stream_interval_join
+
+    imp_src, clk_src = str(tmp_path / "imp"), str(tmp_path / "clk")
+
+    def write(src, rows):
+        spark.createDataFrame(rows, "user_id bigint, ts_s string").selectExpr(
+            "user_id", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: impressions for users 1 and 2
+    write(imp_src, [(1, "2026-01-01 10:00:00"), (2, "2026-01-01 10:00:00"),
+                    (1, "2026-01-01 09:30:00")])  # stale for the 10:05 click
+    # clicks: user 1 clicks at 10:05 (attributes to 10:00 impression
+    # only — 09:30 is 35 min back); user 2 never clicks
+    write(clk_src, [(1, "2026-01-01 10:05:00")])
+
+    imp = (spark.readStream.schema("user_id bigint, ts timestamp")
+           .option("maxFilesPerTrigger", 1).parquet(imp_src))
+    clk = (spark.readStream.schema("user_id bigint, ts timestamp")
+           .option("maxFilesPerTrigger", 1).parquet(clk_src))
+    q = (
+        stream_interval_join(imp, clk)
+        .writeStream.format("memory").queryName("attr_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "attr_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r.user_id, str(r.left_ts), str(r.right_ts), r.lag_seconds)
+            for r in spark.sql("SELECT * FROM attr_sink").collect()}
+    assert rows == {(1, "2026-01-01 10:00:00", "2026-01-01 10:05:00", 300)}, rows
