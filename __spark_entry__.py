@@ -35,6 +35,8 @@ _ROTATE_FIRST = [
     "part_pagerank",
     "part_kcore",
     "semantic_dedup",
+    "cdc_chunks",
+    "langid",
     "pack_plan",
     "simhash",
     "simhash_candidates",

@@ -622,6 +622,25 @@ def q_vocab_topk(spark, sf_dir):
     return T.vocab_topk(_docs(spark, sf_dir), k=20)
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking: boundaries where a token's md5 ends
+    in nibble 0 (1/16) — chunk ids stable under upstream edits."""
+    from ctinexus_spark.operators.prepare import cdc_chunks
+
+    return cdc_chunks(_docs(spark, sf_dir))
+
+
+def q_langid(spark, sf_dir):
+    """Self-trained TextCat trigram language ID: per-lang top-100
+    trigram profiles from the labeled corpus, argmax profile hits.
+    NOTE the synthetic corpus's 'languages' all share one 31-token
+    vocabulary (no real language signal), so accuracy here (~0.27) is
+    the data's ceiling; the oracle checks the mechanics exactly and
+    tests/test_textops.py pins real-signal behavior on genuinely
+    distinct languages."""
+    return T.langid_trigram(_docs(spark, sf_dir))
+
+
 def q_bpe_merges(spark, sf_dir):
     """Top-100 adjacent pre-tokenization piece pairs — the BPE merge-
     candidate table (the count a BPE trainer maximizes per merge)."""
@@ -1009,6 +1028,50 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{T.BPE_SPLIT_PATTERN}')) AS DOUBLE)
          / CAST(len({_TOKS}) AS DOUBLE) AS pieces_per_word
 FROM documents
+""",
+    "cdc_chunks": f"""
+WITH pos AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS tok,
+         CASE WHEN substr(md5(l[i]), 32, 1) = '0' THEN 1 ELSE 0 END AS b
+  FROM (SELECT doc_id, {_TOKS} AS l FROM documents), unnest(range(1, len(l) + 1)) t(i)
+),
+ch AS (
+  SELECT doc_id, pos, tok,
+         CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS chunk_idx
+  FROM pos
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(list(tok ORDER BY pos), ' ') AS chunk_text,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM ch GROUP BY doc_id, chunk_idx
+""",
+    "langid": f"""
+WITH tri AS (
+  SELECT doc_id, lang, substr(text, i, 3) AS t
+  FROM documents, unnest(range(1, length(text) - 1)) u(i)
+  WHERE length(text) >= 3
+),
+counts AS (SELECT lang AS plang, t, count(*) AS c FROM tri GROUP BY lang, t),
+prof AS (
+  SELECT plang, t FROM (
+    SELECT plang, t, row_number() OVER (PARTITION BY plang ORDER BY c DESC, t) AS r
+    FROM counts
+  ) WHERE r <= 100
+),
+dt AS (SELECT DISTINCT doc_id, t FROM tri),
+hits AS (
+  SELECT dt.doc_id, prof.plang, CAST(count(*) AS BIGINT) AS h
+  FROM dt JOIN prof USING (t) GROUP BY dt.doc_id, prof.plang
+),
+best AS (
+  SELECT doc_id, min(struct_pack(n := -h, l := plang)) AS w
+  FROM hits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(b.w.l, 'und') AS pred_lang,
+       CAST(coalesce(-b.w.n, 0) AS BIGINT) AS n_hits
+FROM documents d LEFT JOIN best b USING (doc_id)
 """,
     "bpe_merges": f"""
 WITH p AS (
@@ -1622,6 +1685,8 @@ QUERIES = {
     "part_pagerank": q_part_pagerank,
     "part_kcore": q_part_kcore,
     "semantic_dedup": q_semantic_dedup,
+    "cdc_chunks": q_cdc_chunks,
+    "langid": q_langid,
 }
 
 ORACLES["dedup_clusters_stars"] = ORACLES["dedup_clusters_cc"]

@@ -94,6 +94,52 @@ def chunk_documents(
     )
 
 
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    modulus: int = 16,
+) -> DataFrame:
+    """(id, chunk_idx, chunk_text, n_tokens) — content-defined
+    chunking: a chunk boundary falls AFTER any token whose md5 ends in
+    a fixed residue (probability 1/modulus), so boundaries depend only
+    on local content. Unlike fixed-stride chunking, an insertion early
+    in a document shifts at most one chunk — every later chunk is
+    byte-identical — which is what makes chunk-level dedup/caching
+    stable under edits (the rsync/LBFS rolling-hash property, token
+    granularity).
+
+    Scale shape: boundary flags are a JVM expression over the token
+    array; chunk ids are a per-document running sum (window partitioned
+    by the unique doc id — bounded by document length, never by corpus
+    size); reassembly is one groupBy with an order-pinned fold."""
+    toks = F.split(F.col(text_col), " ")
+    pos = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "tok")
+    ).withColumn(
+        # boundary AFTER tokens whose md5 last hex nibble is 0 (1/16)
+        "_b", (F.substring(F.md5("tok"), 32, 1) == F.lit("0")).cast("int")
+        if modulus == 16
+        else (F.conv(F.substring(F.md5("tok"), 31, 2), 16, 10).cast("int") % modulus == 0).cast("int"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    chunked = pos.withColumn(
+        "chunk_idx", F.coalesce(F.sum("_b").over(w), F.lit(0)).cast("int")
+    )
+    return chunked.groupBy(id_col, "chunk_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+        F.count("*").cast("bigint").alias("n_tokens"),
+    )
+
+
 def pack_documents(
     docs: DataFrame,
     budget_tokens: int,

@@ -514,6 +514,67 @@ def token_pmi(
     )
 
 
+def langid_trigram(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    profile_size: int = 100,
+) -> DataFrame:
+    """(id, pred_lang, n_hits) — TextCat-style character-trigram
+    language identification, SELF-TRAINED: per-language top-K trigram
+    profiles are built from the corpus's own labeled rows (two
+    aggregations), then every document is scored by how many of its
+    distinct trigrams appear in each language's profile; the language
+    with the most hits wins (ties to the lexicographically smaller
+    language; no hits → 'und'). The same shape as a production
+    fastText/CLD lang-id pass: a broadcast profile table probed by one
+    scan of the corpus.
+
+    All counts are integers and the argmax is a lexicographic
+    struct-min, so both engines agree exactly. Profiles are bounded
+    (languages × profile_size rows) and broadcast; the per-language
+    rank window runs over the bounded trigram vocabulary, never over
+    corpus rows."""
+    from pyspark.sql import Window
+
+    tris = F.when(
+        F.length(text_col) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text_col) - 2),
+            lambda i: F.col(text_col).substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    train = docs.select(F.col(lang_col).alias("_lang"), F.explode(tris).alias("_tri"))
+    counts = train.groupBy("_lang", "_tri").agg(F.count("*").alias("_c"))
+    wr = Window.partitionBy("_lang").orderBy(F.col("_c").desc(), "_tri")
+    profiles = (
+        counts.withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") <= profile_size)
+        .select("_lang", "_tri")
+    )
+
+    doc_tris = docs.select(F.col(id_col), F.explode(F.array_distinct(tris)).alias("_tri"))
+    hits = (
+        doc_tris.join(F.broadcast(profiles), "_tri")
+        .groupBy(id_col, "_lang")
+        .agg(F.count("*").cast("bigint").alias("_hits"))
+    )
+    best = hits.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("_hits")).alias("n"), F.col("_lang").alias("l"))).alias("_w")
+    )
+    return (
+        docs.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_w.l"), F.lit("und")).alias("pred_lang"),
+            F.coalesce(-F.col("_w.n"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+    )
+
+
 def lang_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Language-ID heuristic features: English stopword hit-rate and
     ascii-letter ratio. (A full lang-id model would be a broadcast

@@ -47,6 +47,56 @@ def test_dup_gram_fraction_cross_doc_shared_spans(spark):
     assert got[4].n_grams == 0 and got[4].dup_fraction == 0.0
 
 
+def test_langid_trigram_separates_real_languages(spark):
+    """On text with genuine character-level signal the self-trained
+    trigram profiles classify held-in documents correctly; too-short
+    text falls back to 'und'."""
+    from ctinexus_spark.operators.textops import langid_trigram
+
+    en = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "she was walking through the old town with a heavy bag of books",
+        "this sentence should look like ordinary english prose with the usual words",
+    ]
+    fr = [
+        "le renard brun saute par dessus le chien paresseux pres de la riviere",
+        "elle marchait dans la vieille ville avec un sac lourd de livres",
+        "cette phrase devrait ressembler a du francais ordinaire avec les mots habituels",
+    ]
+    rows = [(i, t, "en") for i, t in enumerate(en)]
+    rows += [(10 + i, t, "fr") for i, t in enumerate(fr)]
+    rows.append((99, "ab", "en"))  # shorter than a trigram
+    docs = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    got = {r.doc_id: r for r in langid_trigram(docs, profile_size=60).collect()}
+    for i in range(3):
+        assert got[i].pred_lang == "en", (i, got[i])
+    for i in range(10, 13):
+        assert got[i].pred_lang == "fr", (i, got[i])
+    assert got[99].pred_lang == "und" and got[99].n_hits == 0
+
+
+def test_cdc_chunks_boundaries_stable_under_prefix_edit(spark):
+    """The CDC property: inserting tokens at the front of a document
+    shifts chunk indices but leaves every boundary-delimited chunk
+    BODY after the first boundary byte-identical — fixed-stride
+    chunking would rewrite all of them."""
+    from ctinexus_spark.operators.prepare import cdc_chunks
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    edited = "inserted words here " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id int, text string"
+    )
+    got = cdc_chunks(docs).collect()
+    c1 = [r.chunk_text for r in sorted((r for r in got if r.doc_id == 1), key=lambda r: r.chunk_idx)]
+    c2 = [r.chunk_text for r in sorted((r for r in got if r.doc_id == 2), key=lambda r: r.chunk_idx)]
+    assert len(c1) > 3  # boundaries actually fire at 1/16 per token
+    # all chunks after the first are identical between the two docs
+    assert c1[1:] == c2[len(c2) - len(c1) + 1:]
+    # full coverage: concatenation reconstructs the document
+    assert " ".join(c1) == base and " ".join(c2) == edited
+
+
 def test_vocab_topk_order_and_ties(spark):
     from ctinexus_spark.operators.textops import vocab_topk
 
