@@ -507,7 +507,9 @@ def q_part_triangles(spark, sf_dir):
 
 def q_part_pagerank(spark, sf_dir):
     """PageRank over the supplier→part shipment graph (who supplies
-    what; ranks parts by weighted in-links). Iterative float scoring —
+    what; ranks parts by their DISTINCT supplier in-links — pagerank()
+    collapses duplicate edges, so shipment multiplicity deliberately
+    does not weight the edge). Iterative float scoring —
     shuffle-sum order varies in the last ulp, so this is a rows-only
     contract entry (no SQL twin); the algebra is pinned to 1e-9 by
     tests/test_graph_and_skew.py against a numpy power iteration."""

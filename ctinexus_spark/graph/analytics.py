@@ -106,7 +106,9 @@ def pagerank(
     )
     n = verts.count()
     if n == 0:
-        return verts.withColumn("rank", F.lit(0.0))
+        out = barrier(verts.withColumn("rank", F.lit(0.0)))
+        verts.unpersist()
+        return out
     outd = e.groupBy("s").agg(F.count("*").cast("double").alias("outd"))
     # edge weight 1/outdeg, fixed for all rounds
     w = barrier(
@@ -144,6 +146,10 @@ def pagerank(
         )
         if (it + 1) % CHECKPOINT_EVERY == 0 and it + 1 < iterations:
             ranks = barrier(ranks)
+    # materialize before releasing verts: the tail rounds past the last
+    # barrier still reference the persisted vertex set, and a returned
+    # lazy plan would otherwise recompute the distinct-union per action
+    ranks = barrier(ranks)
     verts.unpersist()
     return ranks
 
@@ -175,23 +181,40 @@ def k_core(
         .distinct()
     )
     cur = barrier(e)
+    pinned: list[DataFrame] = []
     for it in range(max_iterations):
+        # persist deg: it feeds the convergence count, BOTH anti-joins
+        # of the next round's edge set, and (on the last round) the
+        # result — unpersisted it would recompute the whole span since
+        # the previous barrier up to three times per round
         deg = (
             cur.select(F.col("u").alias("x"))
             .unionByName(cur.select(F.col("v").alias("x")))
             .groupBy("x")
             .agg(F.count("*").cast("bigint").alias("d"))
+            .persist()
         )
+        pinned.append(deg)
         low = deg.filter(F.col("d") < k).select("x")
-        n_low = low.count()
+        n_low = low.count()  # materializes deg
         if n_low == 0:
-            return deg.select(F.col("x").alias("vertex"), F.col("d").alias("degree"))
+            result = barrier(
+                deg.select(F.col("x").alias("vertex"), F.col("d").alias("degree"))
+            )
+            for p in pinned:
+                p.unpersist()
+            return result
         cur = (
             cur.join(low.select(F.col("x").alias("u")), "u", "left_anti")
             .join(low.select(F.col("x").alias("v")), "v", "left_anti")
         )
         if (it + 1) % CHECKPOINT_EVERY == 0:
-            cur = barrier(cur)
+            cur = barrier(cur)  # materializes through the pinned degs
+            for p in pinned:
+                p.unpersist()
+            pinned = []
+    for p in pinned:
+        p.unpersist()
     raise RuntimeError(
         f"k_core did not converge within {max_iterations} peel rounds"
     )

@@ -113,6 +113,15 @@ def cdc_chunks(
     array; chunk ids are a per-document running sum (window partitioned
     by the unique doc id — bounded by document length, never by corpus
     size); reassembly is one groupBy with an order-pinned fold."""
+    from ctinexus_spark.partitioning import ensure_parallelism
+
+    if modulus != 16 and (modulus <= 0 or 256 % modulus != 0):
+        raise ValueError(
+            f"modulus must be 16 or a divisor of 256, got {modulus}: the "
+            "boundary hash draws from the last md5 byte (256 values), so "
+            "other moduli would silently bias the boundary probability"
+        )
+    docs = ensure_parallelism(docs)  # single-split scans: spread the explode
     toks = F.split(F.col(text_col), " ")
     pos = docs.select(
         F.col(id_col), F.posexplode(toks).alias("pos", "tok")
@@ -363,8 +372,9 @@ def dup_gram_fraction(
     (already distinct), and AQE skew-join splitting covers the
     residual imbalance."""
     from ctinexus_spark.operators.dedup import shingle_col
+    from ctinexus_spark.partitioning import ensure_parallelism
 
-    doc_grams = docs.select(
+    doc_grams = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(shingle_col(text_col, n)).alias("_g")
     ).select(id_col, F.md5("_g").alias("_gh"))
     gram_docs = doc_grams.groupBy("_gh").agg(F.count("*").cast("bigint").alias("_nd"))

@@ -411,6 +411,9 @@ def bpe_merge_pairs(docs: DataFrame, k: int = 200, text_col: str = "text") -> Da
     rows only."""
     from pyspark.sql import Window
 
+    from ctinexus_spark.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(docs)  # single-split scans: spread the explode
     pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), 0)
     n = F.size(pieces)
     pairs = docs.select(
@@ -458,11 +461,16 @@ def token_pmi(
     the PMI ranking.
 
     Scale shape: pair/unigram counts are partial-aggregated groupBys;
-    the two scalar totals come to the driver (two numbers); unigram
-    attachment is two equi-joins on the token key; top-k is
+    the two scalar totals stay LAZY (a broadcast one-row aggregate
+    crossJoin — the pagerank dangling-mass pattern), so one job covers
+    the whole query instead of two eager full-corpus counts per call;
+    unigram attachment is two equi-joins on the token key; top-k is
     TakeOrderedAndProject. No windows over row-level data."""
     from pyspark.sql import Window
 
+    from ctinexus_spark.partitioning import barrier, ensure_parallelism
+
+    docs = ensure_parallelism(docs)  # single-split scans: spread the explode
     toks = _tokens(text_col)
     n = F.size(toks)
     pairs = docs.select(
@@ -479,25 +487,35 @@ def token_pmi(
             ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
         ).alias("p")
     ).select(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+    # pairs feeds three consumers (counts + the two totals) — barrier
+    # once so the explode runs a single time
+    pairs = barrier(pairs)
     words = docs.select(F.explode(toks).alias("w"))
-    uni = words.groupBy("w").agg(F.count("*").cast("bigint").alias("n_w"))
+    uni = barrier(words.groupBy("w").agg(F.count("*").cast("bigint").alias("n_w")))
     pc = pairs.groupBy("left", "right").agg(F.count("*").cast("bigint").alias("n_pair"))
 
-    n_tokens = words.count()
-    n_pairs_total = pairs.count()
+    # one-row totals attach via crossJoin(broadcast(...)) — this plans
+    # as BroadcastNestedLoopJoin, which is the OPTIMAL shape against a
+    # keyless-aggregate (guaranteed single row) build side; the
+    # no-quadratic plan pin special-cases exactly that
+    totals = (
+        uni.agg(F.sum("n_w").cast("double").alias("_n_tokens"))
+        .crossJoin(pairs.agg(F.count("*").cast("double").alias("_n_pairs")))
+    )
 
     joined = (
         pc.filter(F.col("n_pair") >= min_count)
         .join(uni.select(F.col("w").alias("left"), F.col("n_w").alias("n_left")), "left")
         .join(uni.select(F.col("w").alias("right"), F.col("n_w").alias("n_right")), "right")
+        .crossJoin(F.broadcast(totals))
     )
     # fixed-order chain, mirrored exactly in the SQL oracle
     ratio = (
         F.col("n_pair").cast("double")
-        * F.lit(float(n_tokens))
-        * F.lit(float(n_tokens))
+        * F.col("_n_tokens")
+        * F.col("_n_tokens")
         / (
-            F.lit(float(n_pairs_total))
+            F.col("_n_pairs")
             * F.col("n_left").cast("double")
             * F.col("n_right").cast("double")
         )
@@ -506,6 +524,7 @@ def token_pmi(
         joined.withColumn("pmi_ratio", ratio)
         .orderBy(F.col("pmi_ratio").desc(), "left", "right")
         .limit(k)
+        .drop("_n_tokens", "_n_pairs")
     )
     w = Window.orderBy(F.col("pmi_ratio").desc(), "left", "right")
     return top.select(
@@ -538,6 +557,9 @@ def langid_trigram(
     corpus rows."""
     from pyspark.sql import Window
 
+    from ctinexus_spark.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(docs)  # single-split scans: spread the explode
     tris = F.when(
         F.length(text_col) >= 3,
         F.transform(

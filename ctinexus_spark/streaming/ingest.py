@@ -237,25 +237,30 @@ def stream_sessions(
             ])])
         rows = pd.concat(list(pdfs)).sort_values("ts", kind="stable")
         closed = []
+        # fold the batch's events AND the open-session state interval,
+        # all sorted by start, into gap-separated intervals.  A
+        # below-watermark late event merges into whichever interval it
+        # is within `gap` of — including BEFORE the open session — and a
+        # late event more than `gap` older than session_start forms its
+        # own (immediately closed) session instead of being glued into
+        # the open one, which would emit a session violating the gap
+        # invariant.
+        items = [(ts, ts, 1) for ts in rows["ts"]]
         if state.exists:
-            start, last, n = state.get
-            start, last = pd.Timestamp(start), pd.Timestamp(last)
-        else:
-            start = last = None
-            n = 0
-        for ts in rows["ts"]:
-            if last is not None and (ts - last).value // 10**6 > gap_ms:
-                closed.append({"user_id": key[0], "session_start": start,
-                               "session_end": last, "n_events": n})
-                start, last, n = None, None, 0
-            if start is None:
-                start, last = ts, ts
+            s0, l0, n0 = state.get
+            items.append((pd.Timestamp(s0), pd.Timestamp(l0), int(n0)))
+        items.sort(key=lambda x: (x[0], x[1]))
+        merged: list[list] = []
+        for s, e, c in items:
+            if merged and (s - merged[-1][1]).value // 10**6 <= gap_ms:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += c
             else:
-                # a below-watermark late event from an earlier batch may
-                # carry ts < last: extend the open session monotonically
-                # (never move session_end backwards / start forwards)
-                start, last = min(start, ts), max(last, ts)
-            n += 1
+                merged.append([s, e, c])
+        for s, e, c in merged[:-1]:
+            closed.append({"user_id": key[0], "session_start": s,
+                           "session_end": e, "n_events": c})
+        start, last, n = merged[-1]
         state.update((start.to_pydatetime(), last.to_pydatetime(), int(n)))
         # naive timestamps are session-TZ UTC: epoch from .value, not
         # .timestamp() (which would assume the host's local zone).

@@ -176,9 +176,18 @@ def main() -> None:
             capture_output=True, text=True, cwd=REPO,
             env={**os.environ, "PYTHONPATH": REPO},
         )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        print(line, file=sys.stderr)
-        return json.loads(line)
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            # surface the child's actual failure instead of an IndexError
+            # that discards it (a dead child would otherwise abort the
+            # whole multi-hour run undiagnosably)
+            print(out.stderr[-4000:], file=sys.stderr)
+            raise RuntimeError(
+                f"bench child failed: {mode} cores={cores} reps={reps} "
+                f"rc={out.returncode}"
+            )
+        print(lines[-1], file=sys.stderr)
+        return json.loads(lines[-1])
 
     def _median_of(runs: list[dict]) -> dict:
         mid = sorted(runs, key=lambda r: r["docs_per_sec"])[len(runs) // 2]

@@ -260,6 +260,54 @@ def test_stream_sessions_late_event_keeps_session_end(spark, tmp_path):
     assert (1, "2026-01-01 10:00:00", "2026-01-01 10:10:00", 3) in rows, rows
 
 
+def test_stream_sessions_very_late_event_forms_own_session(spark, tmp_path):
+    """A late event more than `gap` OLDER than the open session's start
+    must not be glued into it (that would emit a session violating the
+    gap invariant) — it forms its own immediately-closed session."""
+    import time
+
+    from ctinexus_spark.streaming.ingest import stream_sessions
+
+    src = str(tmp_path / "vlate_ev")
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id bigint, ts_s string").selectExpr(
+            "user_id", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: open session [10:00, 10:05]; watermark trails far behind
+    write([(1, "2026-01-01 10:00:00"), (1, "2026-01-01 10:05:00")])
+    time.sleep(1.1)
+    # batch 2: late event at 09:00 — 60 min before session start (> gap)
+    write([(1, "2026-01-01 09:00:00")])
+    time.sleep(1.1)
+    # batch 3: 13:00 closes the [10:00, 10:05] session in-batch
+    write([(1, "2026-01-01 13:00:00")])
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("vlate_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "vlate_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.sql("SELECT * FROM vlate_sink").collect()
+    }
+    # 09:00 is its own closed session; [10:00, 10:05] keeps its bounds
+    assert (1, "2026-01-01 09:00:00", "2026-01-01 09:00:00", 1) in rows, rows
+    assert (1, "2026-01-01 10:00:00", "2026-01-01 10:05:00", 2) in rows, rows
+
+
 def test_stream_near_dups_across_batches(spark, tmp_path):
     """Stateful SimHash banding: a near-duplicate arriving in a LATER
     micro-batch pairs with the earlier document (state outlives the
