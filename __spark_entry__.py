@@ -37,6 +37,7 @@ _ROTATE_FIRST = [
     "semantic_dedup",
     "cdc_chunks",
     "langid",
+    "event_sessions_native",
     "pack_plan",
     "simhash",
     "simhash_candidates",

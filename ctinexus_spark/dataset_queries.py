@@ -422,6 +422,16 @@ def q_event_sessions(spark, sf_dir):
     )
 
 
+def q_event_sessions_native(spark, sf_dir):
+    """Sessionization via the built-in F.session_window aggregation —
+    the JVM/state-store production default (same operator serves the
+    live stream); session_end = last event + gap, window semantics."""
+    from ctinexus_spark.streaming.ingest import session_window_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts")
+    return session_window_counts(ev)
+
+
 def q_event_type_rollup(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -1547,6 +1557,30 @@ SELECT user_id,
        CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM marked GROUP BY user_id
 """,
+    # event_sessions_native: session_window semantics — sessions are
+    # maximal runs with inter-event gap <= 30 min; window close = last
+    # event + gap
+    "event_sessions_native": """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
     "stratified_sample": """
 SELECT doc_id, lang FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
@@ -1669,6 +1703,7 @@ QUERIES = {
     "region_revenue": q_region_revenue,
     "user_top_events": q_user_top_events,
     "event_sessions": q_event_sessions,
+    "event_sessions_native": q_event_sessions_native,
     "event_type_rollup": q_event_type_rollup,
     "order_percentiles": q_order_percentiles,
     "revenue_rollup": q_revenue_rollup,

@@ -283,6 +283,35 @@ def stream_sessions(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """(user_id, session_start, session_end, n_events) — sessionization
+    via the NATIVE F.session_window aggregation: JVM state store,
+    automatic gap-window merging, no Python in the loop. This is the
+    production default; stream_sessions (applyInPandasWithState) exists
+    for custom per-session logic the built-in cannot express. Window
+    semantics: session_end = last event + gap (the window's close),
+    not the last event itself.
+
+    Works identically on BATCH frames (watermark skipped), so the same
+    operator serves the backfill job and the live stream — and the
+    batch path has a DuckDB oracle twin (event_sessions_native)."""
+    base = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        base.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -386,3 +386,49 @@ def test_stream_interval_join_attributes_within_window(spark, tmp_path):
     rows = {(r.user_id, str(r.left_ts), str(r.right_ts), r.lag_seconds)
             for r in spark.sql("SELECT * FROM attr_sink").collect()}
     assert rows == {(1, "2026-01-01 10:00:00", "2026-01-01 10:05:00", 300)}, rows
+
+
+def test_session_window_native_streaming(spark, tmp_path):
+    """The native session_window aggregation works on the STREAM with a
+    watermark: gap-separated runs emit as separate sessions once the
+    watermark closes them; session_end = last event + gap."""
+    import time
+
+    from ctinexus_spark.streaming.ingest import session_window_counts
+
+    src = str(tmp_path / "native_ev")
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id bigint, ts_s string").selectExpr(
+            "user_id", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write([(1, "2026-01-01 10:00:00"), (1, "2026-01-01 10:10:00"),
+           (2, "2026-01-01 10:00:00")])
+    time.sleep(1.1)
+    # advances the watermark far past both sessions' close
+    write([(1, "2026-01-01 15:00:00")])
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        session_window_counts(stream)
+        .writeStream.format("memory")
+        .queryName("native_sess_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "native_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.sql("SELECT * FROM native_sess_sink").collect()
+    }
+    assert (1, "2026-01-01 10:00:00", "2026-01-01 10:40:00", 2) in rows, rows
+    assert (2, "2026-01-01 10:00:00", "2026-01-01 10:30:00", 1) in rows, rows
+    # the 15:00 session is still open at end-of-stream → not emitted
+    assert not any(u == 1 and s.startswith("2026-01-01 15:") for u, s, _e, _n in rows)
