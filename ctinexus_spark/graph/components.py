@@ -56,10 +56,13 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # init = the FIRST propagation round folded into one aggregation:
+    # label(v) = min(v, neighbors(v)) — identical to running a round
+    # over identity labels, one driver sync cheaper (sym is symmetric,
+    # so every vertex appears on the `a` side)
     labels = (
-        sym.select(F.col("a").alias("vertex"))
-        .distinct()
-        .withColumn("component", F.col("vertex"))
+        sym.groupBy(F.col("a").alias("vertex"))
+        .agg(F.least(F.col("a"), F.min("b")).alias("component"))
         .persist()
     )
     labels.count()
