@@ -190,8 +190,14 @@ def main() -> None:
         return json.loads(lines[-1])
 
     def _median_of(runs: list[dict]) -> dict:
-        mid = sorted(runs, key=lambda r: r["docs_per_sec"])[len(runs) // 2]
-        return {**mid, "n_runs": len(runs)}
+        # per-METRIC medians: one noisy phase inside the median-by-total
+        # run would otherwise misrepresent that phase (observed: a 1.4x
+        # bands outlier riding in on an otherwise-median total)
+        out = dict(runs[len(runs) // 2])
+        for k, v in runs[0].items():
+            if isinstance(v, (int, float)):
+                out[k] = sorted(r[k] for r in runs)[len(runs) // 2]
+        return {**out, "n_runs": len(runs)}
 
     # The hypervisor's cycle grant swings minute to minute (measured
     # 1.4x between identical local[4] runs), so the 1<->4 ratio is only
