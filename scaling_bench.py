@@ -339,6 +339,12 @@ def main() -> None:
         "on a real N→4N *machine* scale-out (no shared-cycle cap) the",
         "1 → 4 behavior is the representative one.",
         "",
+        "## Run-to-run spread\n",
+        "The hypervisor's cycle grant drifts over a session: round-4",
+        "measured KG 1 → 4 at 0.87-0.97 and dedup at 0.63-0.72 across",
+        "three identical full runs (the pure-Python burn ceiling drifts",
+        "the same way). This file reports the most recent run; the",
+        "interleaving bounds within-run drift, not between-run drift.\n",
         "## Hot-domain skew\n",
         "north_rule: \"Skew from hot domains is handled with salted",
         "repartitioning and AQE skew-join splitting.\" Evidence: the full",
