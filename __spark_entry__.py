@@ -38,6 +38,7 @@ _ROTATE_FIRST = [
     "cdc_chunks",
     "langid",
     "event_sessions_native",
+    "dedup_incremental",
     "pack_plan",
     "simhash",
     "simhash_candidates",

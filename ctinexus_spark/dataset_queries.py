@@ -217,6 +217,20 @@ def q_ivf_topk(spark, sf_dir):
     return S.ivf_topk(_emb(spark, sf_dir))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup admission: even doc_ids play the already-
+    admitted corpus (stored band index), odd ids the new crawl batch —
+    one index equi-join rejects near-dups of admitted docs, the capped
+    star-edge funnel dedups within the batch, survivors return as
+    index-appendable band rows."""
+    from ctinexus_spark.operators.dedup import dedup_keep_list_incremental, lsh_bands
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup_keep_list_incremental(batch, lsh_bands(corpus))
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup keep-list: IVF cells as blocks, within-cell cosine >=
     0.3 edges (value-rich on the random-vector corpus), distributed CC,
@@ -1375,6 +1389,52 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
 WITH {_IVF_ASSIGN_SQL}
 SELECT vec_id, cell FROM assign
 """,
+    # dedup_incremental: batch (odd ids) admitted against the even-id
+    # corpus's band index; within-batch star-edge + transitive closure
+    "dedup_incremental": f"""
+WITH RECURSIVE
+sig_b AS (
+  SELECT doc_id, {_MINHASH_COLS}
+  FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents WHERE doc_id % 2 = 1)
+  GROUP BY doc_id
+),
+bands_b AS ({" UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, md5(h{b * D.BAND_SIZE} || '|' || h{b * D.BAND_SIZE + 1}) AS band_key FROM sig_b"
+    for b in range(_N_BANDS))}),
+okb AS (
+  SELECT band_idx, band_key FROM bands_b GROUP BY band_idx, band_key
+  HAVING count(*) <= {D.MAX_BUCKET}
+),
+bf AS (SELECT b.doc_id, b.band_idx, b.band_key FROM bands_b b JOIN okb USING (band_idx, band_key)),
+sig_i AS (
+  SELECT doc_id, {_MINHASH_COLS}
+  FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents WHERE doc_id % 2 = 0)
+  GROUP BY doc_id
+),
+bands_i AS ({" UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, md5(h{b * D.BAND_SIZE} || '|' || h{b * D.BAND_SIZE + 1}) AS band_key FROM sig_i"
+    for b in range(_N_BANDS))}),
+hit AS (
+  SELECT DISTINCT bf.doc_id FROM bf
+  JOIN (SELECT DISTINCT band_idx, band_key FROM bands_i) i USING (band_idx, band_key)
+),
+fresh AS (SELECT * FROM bf WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+hubs AS (SELECT band_idx, band_key, min(doc_id) AS hub FROM fresh GROUP BY band_idx, band_key),
+edges AS (
+  SELECT DISTINCT hub AS a, f.doc_id AS b
+  FROM fresh f JOIN hubs USING (band_idx, band_key) WHERE f.doc_id != hub
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+verts AS (SELECT DISTINCT a AS v FROM sym),
+reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT reach.v, s.b FROM reach JOIN sym s ON reach.r = s.a
+),
+cc AS (SELECT v, min(r) AS comp FROM reach GROUP BY v)
+SELECT doc_id, CAST(band_idx AS INT) AS band_idx, band_key FROM fresh
+WHERE doc_id NOT IN (SELECT v FROM cc WHERE v != comp)
+""",
     # semantic_dedup: SemDeDup keep-list — IVF-cell blocking, in-cell
     # cosine edges, recursive-CTE transitive closure, min-id survivors
     "semantic_dedup": f"""
@@ -1722,6 +1782,7 @@ QUERIES = {
     "part_pagerank": q_part_pagerank,
     "part_kcore": q_part_kcore,
     "semantic_dedup": q_semantic_dedup,
+    "dedup_incremental": q_dedup_incremental,
     "cdc_chunks": q_cdc_chunks,
     "langid": q_langid,
 }

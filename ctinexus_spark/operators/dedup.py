@@ -359,6 +359,63 @@ def dedup_keep_list(
     return docs.select(id_col).join(drops, id_col, "left_anti")
 
 
+def dedup_keep_list_incremental(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Incremental near-dup admission — the daily-crawl shape: sketch
+    ONLY the new batch and decide each new document against (a) the
+    stored band index of the already-admitted corpus and (b) the other
+    documents in the batch. Returns the admitted (id, band_idx,
+    band_key) rows — i.e. the new docs that survive, exploded to their
+    bands so the caller can append them to the index (the index stays
+    the single accumulating state, exactly what a 100 TB corpus can
+    afford to carry forward; nothing is ever resketched).
+
+    A new doc is dropped if any of its bands hits an existing index
+    bucket (near-dup of an admitted doc), or if it collides with a
+    smaller-id batch member (within-batch dedup, min-id wins via the
+    same star-edge + CC decision as the batch funnel).
+
+    Scale shape: the index probe is one equi-join on (band_idx,
+    band_key) against the stored band table — no index rescan, no
+    pairwise work; within-batch the standard capped star-edge funnel
+    runs on the (small) batch only."""
+    from ctinexus_spark.graph.components import connected_components
+    from ctinexus_spark.operators.similarity import cap_buckets
+    from ctinexus_spark.partitioning import barrier
+
+    bands = barrier(lsh_bands(new_docs, id_col, text_col))
+    bands = cap_buckets(bands, ["band_idx", "band_key"], max_bucket)
+
+    # (a) near-dup of the admitted corpus: any band bucket collision
+    hit_index = (
+        bands.join(
+            index_bands.select("band_idx", "band_key").distinct(),
+            ["band_idx", "band_key"],
+        )
+        .select(id_col)
+        .distinct()
+    )
+    fresh = bands.join(hit_index, id_col, "left_anti")
+
+    # (b) within-batch dedup over the remaining docs: star edges + CC
+    hubs = fresh.groupBy("band_idx", "band_key").agg(F.min(id_col).alias("_hub"))
+    edges = (
+        fresh.join(hubs, ["band_idx", "band_key"])
+        .filter(F.col(id_col) != F.col("_hub"))
+        .select(F.col("_hub").alias("a_id"), F.col(id_col).alias("b_id"))
+        .distinct()
+    )
+    drops = connected_components(edges, "a_id", "b_id").filter(
+        F.col("vertex") != F.col("component")
+    ).select(F.col("vertex").alias(id_col))
+    return fresh.join(drops, id_col, "left_anti").select(id_col, "band_idx", "band_key")
+
+
 def semantic_dedup_keeplist(
     embeddings: DataFrame,
     id_col: str = "vec_id",

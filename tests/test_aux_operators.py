@@ -202,3 +202,49 @@ def test_semantic_dedup_keeps_min_id_per_cluster(spark):
     emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     kept = {r.vec_id for r in semantic_dedup_keeplist(emb, threshold=0.95).collect()}
     assert kept == {10, 20, 30, 31, 32, 33}, kept
+
+
+def test_incremental_dedup_admits_against_stored_index(spark):
+    """Daily-crawl admission: batch-2 docs near-duplicating an ADMITTED
+    doc are rejected by one index equi-join (first-come wins — no
+    resketching of the corpus); within-batch dups collapse to min id;
+    fresh docs are admitted with their bands ready to append."""
+    from pyspark.sql import functions as F
+
+    from ctinexus_spark.operators.dedup import (
+        dedup_keep_list,
+        dedup_keep_list_incremental,
+        lsh_bands,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    mk = lambda i, extra: (i, base + " " + extra)
+    batch1 = spark.createDataFrame(
+        [mk(1, "one"), (2, "a completely different document " + " ".join(f"q{j}" for j in range(20)))],
+        "doc_id bigint, text string",
+    )
+    admitted = dedup_keep_list(batch1)
+    assert {r.doc_id for r in admitted.collect()} == {1, 2}
+    index = lsh_bands(batch1.join(admitted, "doc_id"))
+
+    batch2 = spark.createDataFrame(
+        [
+            mk(10, "ten"),     # near-dup of admitted doc 1 → rejected
+            (11, "another fresh unrelated text " + " ".join(f"z{j}" for j in range(20))),
+            (12, "another fresh unrelated text " + " ".join(f"z{j}" for j in range(20))),  # dup of 11
+        ],
+        "doc_id bigint, text string",
+    )
+    out = dedup_keep_list_incremental(batch2, index)
+    admitted2 = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    assert admitted2 == {11}, admitted2
+    # returned rows are index-appendable band rows
+    assert set(out.columns) == {"doc_id", "band_idx", "band_key"}
+    # append + re-probe: doc 11's own near-dup is now rejected too
+    index2 = index.unionByName(out)
+    batch3 = spark.createDataFrame(
+        [(20, "another fresh unrelated text " + " ".join(f"z{j}" for j in range(20)))],
+        "doc_id bigint, text string",
+    )
+    assert dedup_keep_list_incremental(batch3, index2).count() == 0
