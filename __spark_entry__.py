@@ -39,6 +39,7 @@ _ROTATE_FIRST = [
     "langid",
     "event_sessions_native",
     "dedup_incremental",
+    "table_profile",
     "pack_plan",
     "simhash",
     "simhash_candidates",

@@ -667,6 +667,16 @@ def q_langid(spark, sf_dir):
     return T.langid_trigram(_docs(spark, sf_dir))
 
 
+def q_table_profile(spark, sf_dir):
+    """Single-pass column profile of the documents table (null counts,
+    distinct counts, lexicographic string min/max per column) — the
+    data-quality health check run before processing a drop."""
+    return T.profile_columns(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
 def q_bpe_merges(spark, sf_dir):
     """Top-100 adjacent pre-tokenization piece pairs — the BPE merge-
     candidate table (the count a BPE trainer maximizes per merge)."""
@@ -1055,6 +1065,15 @@ SELECT doc_id,
          / CAST(len({_TOKS}) AS DOUBLE) AS pieces_per_word
 FROM documents
 """,
+    "table_profile": " UNION ALL ".join(
+        f"""SELECT '{c}' AS "column",
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_value,
+       max(CAST({c} AS VARCHAR)) AS max_value
+FROM documents"""
+        for c in ["doc_id", "text", "lang", "source", "n_chars"]
+    ),
     "cdc_chunks": f"""
 WITH pos AS (
   SELECT doc_id, i - 1 AS pos, l[i] AS tok,
@@ -1783,6 +1802,7 @@ QUERIES = {
     "part_kcore": q_part_kcore,
     "semantic_dedup": q_semantic_dedup,
     "dedup_incremental": q_dedup_incremental,
+    "table_profile": q_table_profile,
     "cdc_chunks": q_cdc_chunks,
     "langid": q_langid,
 }

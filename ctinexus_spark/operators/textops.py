@@ -597,6 +597,43 @@ def langid_trigram(
     )
 
 
+def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """(column, n_nulls, n_distinct, min_value, max_value) — one row
+    per profiled column, computed in a SINGLE pass over the table (all
+    per-column aggregates share one scan; the long format comes from
+    exploding the one aggregated row). The dbt/Deequ-style data-quality
+    profile a pipeline health check runs before processing a drop.
+
+    min/max are over the column's STRING form (lexicographic), so the
+    semantics are type-uniform and engine-portable; numeric min/max
+    belong in a typed query."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"__nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__mn_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.coalesce(F.col(f"__nn_{c}"), F.lit(0)).cast("bigint").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_value"),
+                F.col(f"__mx_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        "r.column", "r.n_nulls", "r.n_distinct", "r.min_value", "r.max_value"
+    )
+
+
 def lang_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Language-ID heuristic features: English stopword hit-rate and
     ascii-letter ratio. (A full lang-id model would be a broadcast

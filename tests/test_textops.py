@@ -137,3 +137,16 @@ def test_dsir_features_upweights_target_like_docs(spark):
     lm = {r.doc_id: r.mean_prob for r in bigram_lm_scores(docs).collect()}
     for d in (1, 2, 3, 4):
         assert abs(got[d].mean_p_corpus - lm[d]) == 0.0
+
+
+def test_profile_columns_single_pass_stats(spark):
+    from ctinexus_spark.operators.textops import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], "id int, v string"
+    )
+    got = {r.column: r for r in profile_columns(df).collect()}
+    assert got["id"].n_nulls == 0 and got["id"].n_distinct == 4
+    assert got["id"].min_value == "1" and got["id"].max_value == "4"
+    assert got["v"].n_nulls == 1 and got["v"].n_distinct == 2
+    assert got["v"].min_value == "a" and got["v"].max_value == "b"
