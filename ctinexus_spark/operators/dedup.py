@@ -155,6 +155,13 @@ def lsh_star_edges(
 
     bands = barrier(lsh_bands(docs, id_col, text_col))
     bands = cap_buckets(bands, ["band_idx", "band_key"], max_bucket)
+    return _star_edges_from_bands(bands, id_col)
+
+
+def _star_edges_from_bands(bands: DataFrame, id_col: str) -> DataFrame:
+    """(a_id, b_id) member→bucket-min star edges from a (id, band_idx,
+    band_key) table — shared by lsh_star_edges and the incremental
+    admission path so the star construction has one definition."""
     hubs = bands.groupBy("band_idx", "band_key").agg(F.min(id_col).alias("_hub"))
     return (
         bands.join(hubs, ["band_idx", "band_key"])
@@ -369,11 +376,14 @@ def dedup_keep_list_incremental(
     """Incremental near-dup admission — the daily-crawl shape: sketch
     ONLY the new batch and decide each new document against (a) the
     stored band index of the already-admitted corpus and (b) the other
-    documents in the batch. Returns the admitted (id, band_idx,
-    band_key) rows — i.e. the new docs that survive, exploded to their
-    bands so the caller can append them to the index (the index stays
-    the single accumulating state, exactly what a 100 TB corpus can
-    afford to carry forward; nothing is ever resketched).
+    documents in the batch. Returns one row per admitted doc's band —
+    (id, band_idx, band_key) — ready to append to the index (the index
+    stays the single accumulating state, exactly what a 100 TB corpus
+    can afford to carry forward; nothing is ever resketched). A doc
+    that is admitted but has NO appendable bands (text too short to
+    shingle, or every band in an over-cap hot bucket — carrying no
+    signal by the cap's own rationale) appears once with NULL band
+    columns, mirroring the batch funnel's rule that such docs survive.
 
     A new doc is dropped if any of its bands hits an existing index
     bucket (near-dup of an admitted doc), or if it collides with a
@@ -400,20 +410,22 @@ def dedup_keep_list_incremental(
         .select(id_col)
         .distinct()
     )
-    fresh = bands.join(hit_index, id_col, "left_anti")
+    # three consumers below (star edges twice via hubs+join, final
+    # projection) — barrier so the cap join + index probe run once
+    fresh = barrier(bands.join(hit_index, id_col, "left_anti"))
 
     # (b) within-batch dedup over the remaining docs: star edges + CC
-    hubs = fresh.groupBy("band_idx", "band_key").agg(F.min(id_col).alias("_hub"))
-    edges = (
-        fresh.join(hubs, ["band_idx", "band_key"])
-        .filter(F.col(id_col) != F.col("_hub"))
-        .select(F.col("_hub").alias("a_id"), F.col(id_col).alias("b_id"))
-        .distinct()
-    )
+    edges = _star_edges_from_bands(fresh, id_col)
     drops = connected_components(edges, "a_id", "b_id").filter(
         F.col("vertex") != F.col("component")
     ).select(F.col("vertex").alias(id_col))
-    return fresh.join(drops, id_col, "left_anti").select(id_col, "band_idx", "band_key")
+
+    admitted = (
+        new_docs.select(id_col)
+        .join(hit_index, id_col, "left_anti")
+        .join(drops, id_col, "left_anti")
+    )
+    return admitted.join(fresh, id_col, "left").select(id_col, "band_idx", "band_key")
 
 
 def semantic_dedup_keeplist(

@@ -115,9 +115,9 @@ def cdc_chunks(
     size); reassembly is one groupBy with an order-pinned fold."""
     from ctinexus_spark.partitioning import ensure_parallelism
 
-    if modulus != 16 and (modulus <= 0 or 256 % modulus != 0):
+    if modulus <= 0 or 256 % modulus != 0:
         raise ValueError(
-            f"modulus must be 16 or a divisor of 256, got {modulus}: the "
+            f"modulus must be a positive divisor of 256, got {modulus}: the "
             "boundary hash draws from the last md5 byte (256 values), so "
             "other moduli would silently bias the boundary probability"
         )

@@ -233,12 +233,16 @@ def test_incremental_dedup_admits_against_stored_index(spark):
             mk(10, "ten"),     # near-dup of admitted doc 1 → rejected
             (11, "another fresh unrelated text " + " ".join(f"z{j}" for j in range(20))),
             (12, "another fresh unrelated text " + " ".join(f"z{j}" for j in range(20))),  # dup of 11
+            (13, "tiny"),      # < 3 tokens: no shingles, but still ADMITTED
         ],
         "doc_id bigint, text string",
     )
     out = dedup_keep_list_incremental(batch2, index)
     admitted2 = {r.doc_id for r in out.select("doc_id").distinct().collect()}
-    assert admitted2 == {11}, admitted2
+    assert admitted2 == {11, 13}, admitted2
+    # the shingle-less doc appears once, with NULL band columns
+    r13 = [r for r in out.collect() if r.doc_id == 13]
+    assert len(r13) == 1 and r13[0].band_idx is None and r13[0].band_key is None
     # returned rows are index-appendable band rows
     assert set(out.columns) == {"doc_id", "band_idx", "band_key"}
     # append + re-probe: doc 11's own near-dup is now rejected too

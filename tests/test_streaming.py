@@ -432,3 +432,20 @@ def test_session_window_native_streaming(spark, tmp_path):
     assert (2, "2026-01-01 10:00:00", "2026-01-01 10:30:00", 1) in rows, rows
     # the 15:00 session is still open at end-of-stream → not emitted
     assert not any(u == 1 and s.startswith("2026-01-01 15:") for u, s, _e, _n in rows)
+
+
+def test_session_window_merges_exact_gap_boundary(spark):
+    """Spark's session_window MERGES events exactly `gap` apart (a new
+    session needs a STRICTLY greater gap) — the boundary the DuckDB
+    oracle twin must encode with `> 1800`, not `>= 1800`."""
+    from ctinexus_spark.streaming.ingest import session_window_counts
+
+    ev = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00"), (1, "2026-01-01 10:30:00")],
+        "user_id bigint, ts_s string",
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    got = session_window_counts(ev).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (str(r.session_start), str(r.session_end), r.n_events) == (
+        "2026-01-01 10:00:00", "2026-01-01 11:00:00", 2)
