@@ -154,6 +154,95 @@ def pagerank(
     return ranks
 
 
+def pagerank_pinned(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """pagerank() with every floating-point reduction pinned to a
+    deterministic order, making the ranks BIT-EXACT across runs,
+    partitionings, and engines — the oracle-grade twin of pagerank().
+
+    Identical algebra per round (contrib sum per target, dangling mass
+    redistributed uniformly, base + damping fold), but the two float
+    sums are left-folds over explicitly sorted lists instead of
+    shuffle-order aggregates: per-target contributions fold in source
+    order (F.aggregate over array_sort(collect_list(struct(s, c)))),
+    and the dangling mass folds in vertex order. DuckDB's
+    list_sum(list(x ORDER BY k)) is the same strict left fold
+    (token_pmi / pq_adc precedent), so an unrolled-SQL twin
+    hash-matches at full double precision — no rounding column needed.
+
+    Cost: collect_list materializes each target's in-edge list in one
+    group (bounded by max in-degree) — fine for oracle runs and still
+    shuffle-parallel, but the unpinned pagerank() is the throughput
+    path (bench's graph_pagerank entry).
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .filter(F.col("s").isNotNull() & F.col("t").isNotNull())
+        .distinct()
+    )
+    verts = (
+        e.select(F.col("s").alias("vertex"))
+        .unionByName(e.select(F.col("t").alias("vertex")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        out = barrier(verts.withColumn("rank", F.lit(0.0)))
+        verts.unpersist()
+        return out
+    outd = e.groupBy("s").agg(F.count("*").cast("double").alias("outd"))
+    w = barrier(
+        e.join(outd, "s").select("s", "t", (F.lit(1.0) / F.col("outd")).alias("w"))
+    )
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    ordered_fold = lambda pairs, field: F.aggregate(  # noqa: E731
+        F.array_sort(pairs), F.lit(0.0), lambda acc, x: acc + x[field]
+    )
+    for it in range(iterations):
+        contribs = (
+            w.join(ranks.select(F.col("vertex").alias("s"), "rank"), "s")
+            .select("t", "s", (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy(F.col("t").alias("vertex"))
+            .agg(ordered_fold(F.collect_list(F.struct("s", "c")), "c").alias("contrib"))
+        )
+        dangling = (
+            ranks.join(outd.select(F.col("s").alias("vertex")), "vertex", "left_anti")
+            .agg(
+                F.coalesce(
+                    ordered_fold(F.collect_list(F.struct("vertex", "rank")), "rank"),
+                    F.lit(0.0),
+                ).alias("_dang")
+            )
+        )
+        ranks = (
+            verts.join(contribs, "vertex", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "vertex",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("_dang") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % CHECKPOINT_EVERY == 0 and it + 1 < iterations:
+            ranks = barrier(ranks)
+    ranks = barrier(ranks)
+    verts.unpersist()
+    return ranks
+
+
 def k_core(
     edges: DataFrame,
     k: int,

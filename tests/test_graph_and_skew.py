@@ -127,6 +127,28 @@ class TestPageRank:
         df = spark.createDataFrame([], "src bigint, dst bigint")
         assert pagerank(df).count() == 0
 
+    def test_pinned_matches_fast_path(self, spark):
+        """pagerank_pinned (ordered left-folds — the oracle-grade
+        variant the registry serves) agrees with the shuffle-sum
+        pagerank to 1e-12 on every vertex: same algebra, only the
+        float reduction order differs."""
+        from ctinexus_spark.graph.analytics import pagerank, pagerank_pinned
+
+        edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+                 ("d", "c"), ("c", "e")]  # e dangles
+        df = spark.createDataFrame(edges, "src string, dst string")
+        fast = {r.vertex: r.rank for r in pagerank(df, iterations=5).collect()}
+        pin = {r.vertex: r.rank for r in pagerank_pinned(df, iterations=5).collect()}
+        assert set(fast) == set(pin)
+        for v in fast:
+            assert abs(fast[v] - pin[v]) < 1e-12, (v, fast[v], pin[v])
+
+    def test_pinned_empty_graph(self, spark):
+        from ctinexus_spark.graph.analytics import pagerank_pinned
+
+        df = spark.createDataFrame([], "src string, dst string")
+        assert pagerank_pinned(df).count() == 0
+
 
 class TestKCore:
     def test_peels_to_dense_core(self, spark):
