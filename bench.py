@@ -71,8 +71,27 @@ def _headline_queries():
     return q
 
 
+def _release_checkpoints(spark) -> None:
+    """clearCache() drops persist()ed relations but NOT localCheckpoint
+    blocks — those are freed by the ContextCleaner only after their
+    Python DataFrame wrappers are GC'd. Left alone, iterative queries
+    (graph_pagerank: barrier() every 3 rounds) accumulate ~65 MB of
+    storage per bench rep (measured 3→9 cached RDDs over 6 reps, with
+    the round-4 warm-median anomaly as the symptom). Collect Python
+    garbage, then nudge the JVM so the cleaner's weak refs fire before
+    the next measurement."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def _time_once(spark, fn, sf_dir: str) -> tuple[float, int]:
     spark.catalog.clearCache()
+    _release_checkpoints(spark)
     t0 = time.perf_counter()
     n = fn(spark, sf_dir).count()  # force full execution
     return time.perf_counter() - t0, n
@@ -126,6 +145,7 @@ def _skew_evidence(spark, n_docs: int = 5000) -> dict:
     for rep in range(1 + WARM_REPEATS):  # rep 0 = warm-up, discarded
         for label in ("skewed", "uniform"):
             spark.catalog.clearCache()
+            _release_checkpoints(spark)
             t0 = time.perf_counter()
             fused_kg(docs[label], model, cfg).count()
             if rep:

@@ -217,18 +217,41 @@ def q_ivf_topk(spark, sf_dir):
     return S.ivf_topk(_emb(spark, sf_dir))
 
 
+# Literal short docs appended to the incremental-admission corpus: the
+# sf0.01 texts are all shingle-able, so without them the band-less
+# exact-hash side channel would be value-free at oracle scale. Parity
+# of the id decides corpus (even) vs batch (odd); expected outcomes:
+# 10001 admitted (min of the in-batch 'dup' pair), 10003 dropped,
+# 10005 admitted solo, 10007 dropped (fingerprint hits corpus 10000).
+_SHORT_DOC_ROWS = [
+    (10000, "crossdup"),
+    (10001, "dup"),
+    (10003, "dup"),
+    (10005, "solo tiny"),
+    (10007, "crossdup"),
+]
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental near-dup admission: even doc_ids play the already-
-    admitted corpus (stored band index), odd ids the new crawl batch —
-    one index equi-join rejects near-dups of admitted docs, the capped
-    star-edge funnel dedups within the batch, survivors return as
-    index-appendable band rows."""
+    admitted corpus (stored band index + band-less fingerprint set),
+    odd ids the new crawl batch — one index equi-join rejects near-dups
+    of admitted docs, the capped star-edge funnel dedups within the
+    batch, and band-less docs (injected literals; too short to shingle)
+    dedupe through the md5 side channel. Survivors return as
+    index-appendable band/fingerprint rows."""
     from ctinexus_spark.operators.dedup import dedup_keep_list_incremental, lsh_bands
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    extra = spark.createDataFrame(_SHORT_DOC_ROWS, "doc_id bigint, text string")
+    docs = _docs(spark, sf_dir).select("doc_id", "text").unionByName(extra)
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    return dedup_keep_list_incremental(batch, lsh_bands(corpus))
+    corpus_bandless_fp = corpus.filter(
+        F.size(F.split(F.col("text"), " ")) < 3
+    ).select(F.md5(F.col("text")).alias("fingerprint"))
+    return dedup_keep_list_incremental(
+        batch, lsh_bands(corpus), index_fingerprints=corpus_bandless_fp
+    )
 
 
 def q_semantic_dedup(spark, sf_dir):
@@ -1427,9 +1450,14 @@ SELECT vec_id, cell FROM assign
     # corpus's band index; within-batch star-edge + transitive closure
     "dedup_incremental": f"""
 WITH RECURSIVE
+extra(doc_id, text) AS (VALUES {{extra_vals}}),
+docs_all AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id::BIGINT, text FROM extra
+),
 sig_b AS (
   SELECT doc_id, {_MINHASH_COLS}
-  FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents WHERE doc_id % 2 = 1)
+  FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM docs_all WHERE doc_id % 2 = 1)
   GROUP BY doc_id
 ),
 bands_b AS ({" UNION ALL ".join(
@@ -1442,7 +1470,7 @@ okb AS (
 bf AS (SELECT b.doc_id, b.band_idx, b.band_key FROM bands_b b JOIN okb USING (band_idx, band_key)),
 sig_i AS (
   SELECT doc_id, {_MINHASH_COLS}
-  FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents WHERE doc_id % 2 = 0)
+  FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM docs_all WHERE doc_id % 2 = 0)
   GROUP BY doc_id
 ),
 bands_i AS ({" UNION ALL ".join(
@@ -1466,13 +1494,30 @@ reach(v, r) AS (
   SELECT reach.v, s.b FROM reach JOIN sym s ON reach.r = s.a
 ),
 cc AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
-admitted AS (
-  SELECT doc_id FROM documents WHERE doc_id % 2 = 1
-    AND doc_id NOT IN (SELECT doc_id FROM hit)
-    AND doc_id NOT IN (SELECT v FROM cc WHERE v != comp)
+banded_admitted AS (
+  SELECT f.doc_id, CAST(f.band_idx AS INT) AS band_idx, f.band_key,
+         NULL::VARCHAR AS fingerprint
+  FROM fresh f
+  WHERE f.doc_id NOT IN (SELECT v FROM cc WHERE v != comp)
+),
+corpus_fp AS (
+  SELECT DISTINCT md5(text) AS fingerprint FROM docs_all
+  WHERE doc_id % 2 = 0 AND len(string_split(text, ' ')) < 3
+),
+bandless AS (
+  SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id
+  FROM docs_all
+  WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM bf)
+  GROUP BY md5(text)
+),
+bandless_admitted AS (
+  SELECT doc_id, NULL::INT AS band_idx, NULL::VARCHAR AS band_key, fingerprint
+  FROM bandless
+  WHERE fingerprint NOT IN (SELECT fingerprint FROM corpus_fp)
 )
-SELECT a.doc_id, CAST(f.band_idx AS INT) AS band_idx, f.band_key
-FROM admitted a LEFT JOIN fresh f USING (doc_id)
+SELECT doc_id, band_idx, band_key, fingerprint FROM banded_admitted
+UNION ALL
+SELECT doc_id, band_idx, band_key, fingerprint FROM bandless_admitted
 """,
     # semantic_dedup: SemDeDup keep-list — IVF-cell blocking, in-cell
     # cosine edges, recursive-CTE transitive closure, min-id survivors
@@ -1829,6 +1874,9 @@ QUERIES = {
 }
 
 ORACLES["dedup_clusters_stars"] = ORACLES["dedup_clusters_cc"]
+ORACLES["dedup_incremental"] = ORACLES["dedup_incremental"].format(
+    extra_vals=", ".join(f"({i}, '{t}')" for i, t in _SHORT_DOC_ROWS)
+)
 
 
 # --- PQ / random-projection oracles (generated literals) ---------------

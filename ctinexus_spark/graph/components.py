@@ -41,6 +41,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    check_every: int = 2,
 ) -> DataFrame:
     """edges(src, dst) → (vertex, component) where component is the
     minimum vertex id reachable. Vertex ids must be orderable
@@ -49,7 +50,16 @@ def connected_components(
     Raises RuntimeError if the fixpoint is not reached within
     max_iterations — silently returning unconverged labels would hand
     large-diameter graphs wrong components with no signal.
+
+    check_every batches propagation rounds between convergence checks:
+    each check is a driver-synced action with a ~1 s latency floor at
+    local scale (invariant to parallelism — it dominated the dedup
+    funnel's 1→4 scaling), so checking every 2nd round halves the
+    fixed cost for at most one no-op round of extra dataflow work.
+    Labels are identical for any check_every (the check only decides
+    when to STOP; a converged round is idempotent).
     """
+    check_every = max(1, check_every)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -92,7 +102,15 @@ def connected_components(
             # max(old) ignores the neighbor NULLs: exactly the own label
             .agg(F.min("component").alias("component"), F.max("old").alias("old"))
         )
-        if (it + 1) % CHECKPOINT_EVERY == 0:
+        do_check = (it + 1) % check_every == 0 or it + 1 == max_iterations
+        if not do_check:
+            # skipped-check round: stay lazy — the next check's single
+            # job materializes this round's join+agg together with its
+            # own (the whole point: one driver sync per check_every
+            # rounds of dataflow)
+            labels = flagged.drop("old")
+            continue
+        if (it + 1) % (check_every * CHECKPOINT_EVERY) == 0:
             flagged = barrier(flagged)
         else:
             flagged = flagged.persist()

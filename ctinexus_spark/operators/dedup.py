@@ -245,18 +245,30 @@ def _simhash_one(tokens: list[str], bits: int = SIMHASH_BITS) -> int:
     return v
 
 
+# Bound on the signs[inv[...]] gather materialized per sub-chunk of
+# _simhash_batch: 2^16 tokens × 48 bits × 4 B ≈ 12.6 MB transient per
+# executor thread. Without the bound a 10k-record Arrow batch of
+# ~1k-token web documents would gather a (total_tokens × 48) int32
+# matrix — ~2 GB per thread, an OOM the per-doc loop never had.
+_SIMHASH_TOKEN_CHUNK = 1 << 16
+
+
 def _simhash_batch(texts, bits: int = SIMHASH_BITS) -> "pd.Series":
     """Vectorized SimHash over one Arrow batch of texts, bit-identical
     to _simhash_one: Python md5 runs once per DISTINCT token in the
-    batch (np.unique collapses the Zipfian repeat mass); the per-token
-    ±1 sign matrix, per-doc sign sums (add.reduceat over the flat
-    token stream), and the sign→bit fold are all numpy."""
+    batch (np.unique collapses the Zipfian repeat mass); sign sums run
+    numpy-side over doc-boundary-aligned sub-chunks of the flat token
+    stream so the expanded gather stays under _SIMHASH_TOKEN_CHUNK
+    tokens (add.reduceat per chunk; a single oversized doc falls back
+    to slice-wise accumulation). Bit-identity with the scalar kernel
+    is pinned by the hypothesis test in test_aux_operators."""
     import numpy as np
 
     tok_lists = [(t or "").split(" ") for t in texts]
     if not tok_lists:
         return pd.Series([], dtype="int64")
-    counts = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64, count=len(tok_lists))
+    n_docs = len(tok_lists)
+    counts = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64, count=n_docs)
     flat = np.asarray([t for tl in tok_lists for t in tl], dtype=object)
     uniq, inv = np.unique(flat, return_inverse=True)
     nhex = bits // 4
@@ -267,9 +279,32 @@ def _simhash_batch(texts, bits: int = SIMHASH_BITS) -> "pd.Series":
     )
     js = np.arange(bits, dtype=np.int64)
     signs = (((hs[:, None] >> js[None, :]) & 1) * 2 - 1).astype(np.int32)
-    offsets = np.zeros(len(tok_lists), dtype=np.int64)
+    offsets = np.zeros(n_docs, dtype=np.int64)
     np.cumsum(counts[:-1], out=offsets[1:])
-    acc = np.add.reduceat(signs[inv], offsets, axis=0)
+
+    acc = np.empty((n_docs, bits), dtype=np.int64)
+    d0 = 0
+    while d0 < n_docs:
+        # extend [d0, d1) while the chunk stays under the token bound
+        # (always take at least one doc)
+        d1 = d0 + 1
+        tok0 = offsets[d0]
+        while d1 < n_docs and offsets[d1] + counts[d1] - tok0 <= _SIMHASH_TOKEN_CHUNK:
+            d1 += 1
+        tok1 = offsets[d1 - 1] + counts[d1 - 1]
+        if tok1 - tok0 <= _SIMHASH_TOKEN_CHUNK:
+            acc[d0:d1] = np.add.reduceat(
+                signs[inv[tok0:tok1]], offsets[d0:d1] - tok0, axis=0
+            )
+        else:
+            # single doc longer than the chunk: accumulate its sign sum
+            # slice by slice (integer addition — order-independent)
+            a = np.zeros(bits, dtype=np.int64)
+            for s in range(tok0, tok1, _SIMHASH_TOKEN_CHUNK):
+                e = min(s + _SIMHASH_TOKEN_CHUNK, tok1)
+                a += signs[inv[s:e]].sum(axis=0, dtype=np.int64)
+            acc[d0] = a
+        d0 = d1
     v = ((acc > 0).astype(np.int64) << js[None, :]).sum(axis=1)
     return pd.Series(v)
 
@@ -372,20 +407,32 @@ def dedup_keep_list_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int = MAX_BUCKET,
+    index_fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup admission — the daily-crawl shape: sketch
     ONLY the new batch and decide each new document against (a) the
     stored band index of the already-admitted corpus and (b) the other
     documents in the batch. Returns one row per admitted doc's band —
-    (id, band_idx, band_key) — ready to append to the index (the index
-    stays the single accumulating state, exactly what a 100 TB corpus
-    can afford to carry forward; nothing is ever resketched). A doc
-    that is admitted but has NO appendable bands (text too short to
-    shingle, or every band in an over-cap hot bucket — carrying no
-    signal by the cap's own rationale) appears once with NULL band
-    columns, mirroring the batch funnel's rule that such docs survive.
+    (id, band_idx, band_key, fingerprint=NULL) — ready to append to the
+    index (the index stays the single accumulating state, exactly what
+    a 100 TB corpus can afford to carry forward; nothing is ever
+    resketched).
 
-    A new doc is dropped if any of its bands hits an existing index
+    Docs with NO surviving bands (text too short to shingle, or every
+    band in an over-cap hot bucket) go through an EXACT-HASH side
+    channel instead of being admitted blind: empty/boilerplate-short
+    pages are among the most duplicated documents in real crawls, and
+    the LSH funnel is structurally silent on them. md5(text) dedupes
+    them within the batch (min-id winner via one map-side-combined
+    aggregation — no join on the hot fingerprint, so a billion-fold
+    empty-page clique collapses before any shuffle fan-out) and, when
+    `index_fingerprints` (a `fingerprint` column of previously admitted
+    band-less docs) is supplied, against the stored corpus. Admitted
+    band-less docs appear once with NULL band columns and their
+    fingerprint populated — the appendable side state, symmetric with
+    the band rows.
+
+    A banded doc is dropped if any of its bands hits an existing index
     bucket (near-dup of an admitted doc), or if it collides with a
     smaller-id batch member (within-batch dedup, min-id wins via the
     same star-edge + CC decision as the batch funnel).
@@ -393,7 +440,8 @@ def dedup_keep_list_incremental(
     Scale shape: the index probe is one equi-join on (band_idx,
     band_key) against the stored band table — no index rescan, no
     pairwise work; within-batch the standard capped star-edge funnel
-    runs on the (small) batch only."""
+    runs on the (small) batch only; the fingerprint channel is one
+    partial aggregation plus one anti-join on distinct fingerprints."""
     from ctinexus_spark.graph.components import connected_components
     from ctinexus_spark.operators.similarity import cap_buckets
     from ctinexus_spark.partitioning import barrier
@@ -420,12 +468,34 @@ def dedup_keep_list_incremental(
         F.col("vertex") != F.col("component")
     ).select(F.col("vertex").alias(id_col))
 
-    admitted = (
-        new_docs.select(id_col)
-        .join(hit_index, id_col, "left_anti")
-        .join(drops, id_col, "left_anti")
+    admitted_banded = fresh.join(drops, id_col, "left_anti").select(
+        id_col,
+        "band_idx",
+        "band_key",
+        F.lit(None).cast("string").alias("fingerprint"),
     )
-    return admitted.join(fresh, id_col, "left").select(id_col, "band_idx", "band_key")
+
+    # (c) band-less docs: exact-hash channel. Aggregate BEFORE the
+    # index probe so a hot fingerprint collapses map-side first.
+    bandless = (
+        new_docs.join(bands.select(id_col).distinct(), id_col, "left_anti")
+        .select(F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    if index_fingerprints is not None:
+        bandless = bandless.join(
+            index_fingerprints.select("fingerprint").distinct(),
+            "fingerprint",
+            "left_anti",
+        )
+    admitted_bandless = bandless.select(
+        id_col,
+        F.lit(None).cast("int").alias("band_idx"),
+        F.lit(None).cast("string").alias("band_key"),
+        "fingerprint",
+    )
+    return admitted_banded.unionByName(admitted_bandless)
 
 
 def semantic_dedup_keeplist(

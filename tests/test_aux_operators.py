@@ -233,22 +233,34 @@ def test_incremental_dedup_admits_against_stored_index(spark):
             mk(10, "ten"),     # near-dup of admitted doc 1 → rejected
             (11, "another fresh unrelated text " + " ".join(f"z{j}" for j in range(20))),
             (12, "another fresh unrelated text " + " ".join(f"z{j}" for j in range(20))),  # dup of 11
-            (13, "tiny"),      # < 3 tokens: no shingles, but still ADMITTED
+            (13, "tiny"),      # < 3 tokens: no shingles → fingerprint channel
+            (14, "tiny"),      # exact dup of 13 within the batch → dropped
         ],
         "doc_id bigint, text string",
     )
     out = dedup_keep_list_incremental(batch2, index)
     admitted2 = {r.doc_id for r in out.select("doc_id").distinct().collect()}
     assert admitted2 == {11, 13}, admitted2
-    # the shingle-less doc appears once, with NULL band columns
+    # the shingle-less winner appears once: NULL bands, fingerprint set
     r13 = [r for r in out.collect() if r.doc_id == 13]
     assert len(r13) == 1 and r13[0].band_idx is None and r13[0].band_key is None
-    # returned rows are index-appendable band rows
-    assert set(out.columns) == {"doc_id", "band_idx", "band_key"}
-    # append + re-probe: doc 11's own near-dup is now rejected too
-    index2 = index.unionByName(out)
+    assert r13[0].fingerprint is not None
+    # banded rows carry NULL fingerprints (band/fingerprint state split)
+    assert all(r.fingerprint is None for r in out.collect() if r.doc_id == 11)
+    assert set(out.columns) == {"doc_id", "band_idx", "band_key", "fingerprint"}
+    # append + re-probe: doc 11's own near-dup is rejected by the band
+    # index, and an exact dup of the admitted SHORT doc is rejected by
+    # the stored fingerprint set (the empty/boilerplate-page case the
+    # LSH funnel is structurally blind to)
+    index2 = index.unionByName(
+        out.filter(F.col("band_key").isNotNull()).select("doc_id", "band_idx", "band_key")
+    )
+    fps = out.filter(F.col("fingerprint").isNotNull()).select("fingerprint")
     batch3 = spark.createDataFrame(
-        [(20, "another fresh unrelated text " + " ".join(f"z{j}" for j in range(20)))],
+        [(20, "another fresh unrelated text " + " ".join(f"z{j}" for j in range(20))),
+         (21, "tiny")],
         "doc_id bigint, text string",
     )
-    assert dedup_keep_list_incremental(batch3, index2).count() == 0
+    assert dedup_keep_list_incremental(batch3, index2, index_fingerprints=fps).count() == 0
+    # without the stored fingerprint set the short dup would be re-admitted
+    assert dedup_keep_list_incremental(batch3, index2).count() == 1
