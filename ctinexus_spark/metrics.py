@@ -21,12 +21,58 @@ METRICS_SCHEMA = (
     "tokens_in bigint, tokens_out bigint, cost double"
 )
 
-# Example per-token prices (USD) — the reference ships a 30-model
-# table in config/cost.json; the stub model is free but the plumbing
-# carries real numbers for any ModelClient that reports usage.
+# Per-token prices (USD) as (input, output) — the reference's full
+# cost table (config/cost.json, 46 models incl. the zero-cost local
+# ollama/embedding entries); "stub" added for the free test model.
 TOKEN_PRICES = {
     "stub": (0.0, 0.0),
     "gpt-4.1": (2e-06, 8e-06),
+    "gpt-4o": (2.5e-06, 1e-05),
+    "gpt-4": (3e-05, 6e-05),
+    "gpt-4-turbo": (1e-05, 3e-05),
+    "gpt-3.5-turbo": (5e-07, 1.5e-06),
+    "gpt-4.1-mini": (4e-07, 1.6e-06),
+    "gpt-4o-mini": (1.5e-07, 6e-07),
+    "gpt-4.1-nano": (1e-07, 4e-07),
+    "o3": (2e-06, 8e-06),
+    "o3-pro": (2e-05, 8e-05),
+    "o3-mini": (1.1e-06, 4.4e-06),
+    "o4-mini": (1.1e-06, 4.4e-06),
+    "anthropic.claude-3-7-sonnet": (3e-06, 1.5e-05),
+    "anthropic.claude-3-5-sonnet": (3e-06, 1.5e-05),
+    "anthropic.claude-3-5-haiku": (8e-07, 4e-06),
+    "anthropic.claude-3-haiku": (2.5e-07, 1.25e-06),
+    "amazon.nova-micro-v1:0": (3.5e-08, 1.4e-07),
+    "amazon.nova-lite-v1:0": (6e-08, 2.4e-07),
+    "amazon.nova-pro-v1:0": (4.5e-07, 1.8e-06),
+    "deepseek.r1-v1:0": (1.4e-07, 7e-07),
+    "mistral.pixtral-large-2502-v1:0": (1e-06, 3e-06),
+    "meta.llama3-1-8b-instruct-v1:0": (1.5e-07, 6e-07),
+    "meta.llama3-1-70b-instruct-v1:0": (7.5e-07, 3e-06),
+    "meta.llama3-2-11b-instruct-v1:0": (2e-07, 8e-07),
+    "text-embedding-3-small": (2e-08, 0.0),
+    "text-embedding-3-large": (1.3e-07, 0.0),
+    "text-embedding-ada-002": (1e-07, 0.0),
+    "amazon.titan-embed-text-v2:0": (1.2e-07, 0.0),
+    "gemini-2.5-flash-lite": (1e-07, 4e-07),
+    "gemini-2.0-flash": (1e-07, 4e-07),
+    "gemini-2.0-flash-lite": (7.5e-08, 3e-07),
+    "gemini-embedding-001": (1.5e-07, 0.0),
+    # local (ollama) models and embedders run at zero marginal cost
+    "llama3.1:8b": (0.0, 0.0),
+    "llama3.1:70b": (0.0, 0.0),
+    "llama3:8b": (0.0, 0.0),
+    "mistral:7b": (0.0, 0.0),
+    "mixtral:8x7b": (0.0, 0.0),
+    "qwen2.5:7b": (0.0, 0.0),
+    "qwen2.5:14b": (0.0, 0.0),
+    "phi3:14b": (0.0, 0.0),
+    "gemma2:9b": (0.0, 0.0),
+    "gemma2:27b": (0.0, 0.0),
+    "nomic-embed-text": (0.0, 0.0),
+    "mxbai-embed-large": (0.0, 0.0),
+    "all-minilm": (0.0, 0.0),
+    "snowflake-arctic-embed": (0.0, 0.0),
 }
 
 

@@ -380,24 +380,81 @@ def dedup_keep_list(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int = MAX_BUCKET,
+    contract_hubs: bool = True,
 ) -> DataFrame:
     """The end-to-end near-dup decision a training-data pipeline ships:
     MinHash→LSH candidates → duplicate clusters (distributed CC) →
     keep exactly the minimum-id member of every cluster plus all
     unclustered docs. Every stage is a bucketed equi-join or a
     label-propagation round — the full Common-Crawl dedup funnel with
-    no all-pairs step. Connectivity comes from per-bucket STAR edges
-    (lsh_star_edges): linear in bucket size, so a 1000-fold duplicate
-    cluster feeds CC ~1000 edges instead of ~500k pairs; components
-    (and therefore the keep list) are identical to the pair-join edge
-    set (pinned by test_aux_operators)."""
+    no all-pairs step.
+
+    Default path (contract_hubs=True, round 5): HUB-GRAPH CONTRACTION.
+    Each ≥2-member bucket elects its minimum member as hub; a doc links
+    each of its hubs to its own minimum hub, and connected components
+    run over the HUB graph only. CC's iterative state shrinks from
+    every banded document to one vertex per near-dup bucket — on a
+    mostly-unique crawl that is the small fraction of the corpus
+    actually involved in duplication, so the ~6 label-propagation
+    rounds iterate over orders of magnitude fewer rows at 100 TB. The
+    keep list is EXACTLY the star-edge path's: a cluster's global
+    minimum member m* sits in some bucket whose hub is ≤ every member
+    including m*, hence equals m* — so m* is itself a hub, component
+    minima coincide, and a doc is dropped iff its component label
+    differs from its id (pinned equivalent to contract_hubs=False by
+    test_aux_operators).
+
+    contract_hubs=False keeps the member-level star-edge funnel
+    (lsh_star_edges → CC over all banded docs): linear in bucket size,
+    identical components to the pair-join edge set."""
     from ctinexus_spark.graph.components import connected_components
 
-    edges = lsh_star_edges(docs, id_col, text_col, max_bucket)
-    comps = connected_components(edges, "a_id", "b_id")
-    drops = comps.filter(F.col("vertex") != F.col("component")).select(
-        F.col("vertex").alias(id_col)
+    if not contract_hubs:
+        edges = lsh_star_edges(docs, id_col, text_col, max_bucket)
+        comps = connected_components(edges, "a_id", "b_id")
+        drops = comps.filter(F.col("vertex") != F.col("component")).select(
+            F.col("vertex").alias(id_col)
+        )
+        return docs.select(id_col).join(drops, id_col, "left_anti")
+
+    from ctinexus_spark.operators.similarity import cap_buckets
+
+    bands = barrier(lsh_bands(docs, id_col, text_col))
+    bands = cap_buckets(bands, ["band_idx", "band_key"], max_bucket)
+    hubs = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.min(id_col).alias("_hub"), F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .drop("_n")
     )
+    # (doc, hub) membership — only buckets that witness duplication
+    mem = (
+        bands.join(hubs, ["band_idx", "band_key"])
+        .select(F.col(id_col), F.col("_hub").alias("hub"))
+        .distinct()
+    )
+    # a doc's anchor hub + hub-hub edges through shared membership;
+    # barrier: mem feeds both the anchor aggregate and the edge join
+    mem = barrier(mem)
+    anchors = mem.groupBy(id_col).agg(F.min("hub").alias("hub0"))
+    anchors = barrier(anchors)
+    hub_edges = (
+        mem.join(anchors, id_col)
+        .filter(F.col("hub") != F.col("hub0"))
+        .select(F.col("hub").alias("a_id"), F.col("hub0").alias("b_id"))
+        .distinct()
+    )
+    comps = connected_components(hub_edges, "a_id", "b_id")
+    labels = (
+        anchors.join(
+            comps.select(F.col("vertex").alias("hub0"), "component"), "hub0", "left"
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("component", "hub0").alias("component"),
+        )
+    )
+    drops = labels.filter(F.col(id_col) != F.col("component")).select(id_col)
     return docs.select(id_col).join(drops, id_col, "left_anti")
 
 

@@ -49,11 +49,22 @@ def media_metadata(df: DataFrame, id_col: str = "media_id", bytes_col: str = "co
 def _decode_impl(data: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
     """Decode → (width, height, feature vector). STUB: the real build
     calls PIL/libvips here; the deterministic fake derives everything
-    from the content digest so tests exercise the full batch path."""
+    from the content digest so tests exercise the full batch path.
+
+    Environment-gated like IcebergStageStore (checkpoint.py): PIL /
+    Pillow / libvips are verified absent from this container (import
+    probed round 5) and package installs are out of scope, so the
+    codec slot stays a documented NotImplementedError. Everything
+    Spark-side — schema, Arrow batch sizing, repartitioning, the
+    mapInPandas signature — is real and tested via fake=True; a
+    deployment with Pillow replaces ONLY this function's body
+    (PIL.Image.open(io.BytesIO(data)) → size + a pooled feature
+    vector) with no plan-shape change."""
     if not fake:
         raise NotImplementedError(
-            "image decode requires PIL/libvips (not installed in this "
-            "container); pass fake=True for the deterministic test decoder"
+            "image decode requires PIL/libvips (verified not installed "
+            "in this container; installs out of scope); pass fake=True "
+            "for the deterministic test decoder"
         )
     digest = hashlib.md5(data or b"").digest()
     width = 16 + digest[0] % 64

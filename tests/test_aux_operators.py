@@ -84,6 +84,38 @@ class TestUsage:
         u = calculate_usage("nope", "garbage")
         assert u["total"]["tokens"] == 0 and u["total"]["cost"] == 0
 
+    def test_table_covers_reference_models(self):
+        """The price table carries the reference's full cost.json
+        surface: every provider family, embedders output-free, local
+        ollama models zero-cost."""
+        from ctinexus_spark.metrics import TOKEN_PRICES
+
+        assert len(TOKEN_PRICES) >= 46
+        for family in ("gpt-4o", "o3", "anthropic.claude-3-5-haiku",
+                       "amazon.nova-pro-v1:0", "deepseek.r1-v1:0",
+                       "meta.llama3-1-70b-instruct-v1:0",
+                       "gemini-2.0-flash", "text-embedding-3-small",
+                       "llama3.1:8b"):
+            assert family in TOKEN_PRICES, family
+        for name, (i, o) in TOKEN_PRICES.items():
+            assert i >= 0.0 and o >= 0.0
+            if "embed" in name:
+                assert o == 0.0, f"embedder {name} should have no output price"
+            if ":" in name and not name.startswith(("amazon.", "meta.", "mistral.", "deepseek.")):
+                assert (i, o) == (0.0, 0.0), f"local model {name} should be free"
+
+    @pytest.mark.parametrize(
+        "model,expected",
+        [("anthropic.claude-3-5-haiku", 100 * 8e-07 + 50 * 4e-06),
+         ("o3-pro", 100 * 2e-05 + 50 * 8e-05),
+         ("amazon.nova-micro-v1:0", 100 * 3.5e-08 + 50 * 1.4e-07),
+         ("qwen2.5:7b", 0.0)],
+    )
+    def test_priced_models_cost_out(self, model, expected):
+        u = calculate_usage(model, self._Resp())
+        assert u["total"]["cost"] == pytest.approx(expected)
+        assert u["total"]["tokens"] == 150
+
 
 HTML = (
     "<html><head>"
@@ -176,6 +208,30 @@ def test_star_edges_component_equivalent_to_pair_edges(spark):
     assert a == b and a, (a, b)
     # and the star set is strictly smaller on the fat cluster
     assert star_edges.count() < pair_edges.count()
+
+
+def test_hub_contraction_keep_list_equivalent(spark):
+    """dedup_keep_list's hub-graph contraction (CC over one vertex per
+    ≥2-member bucket) must produce EXACTLY the member-level star-edge
+    keep list — the cluster-min argument: a cluster's global min member
+    is itself some bucket's hub, so component minima coincide. Corpus
+    mixes chained near-dup clusters (via shared buckets), singleton
+    docs, and too-short docs."""
+    from ctinexus_spark.operators.dedup import dedup_keep_list
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(i, base + f" tail{i % 3}") for i in range(15)]
+    rows += [(100 + i, f"unique document {i} " + " ".join(f"w{i}{j}" for j in range(20)))
+             for i in range(6)]
+    rows += [(200, "too short"), (201, "too short")]  # shingle-less: both kept
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = {r.doc_id for r in dedup_keep_list(docs, contract_hubs=True).collect()}
+    b = {r.doc_id for r in dedup_keep_list(docs, contract_hubs=False).collect()}
+    assert a == b, (sorted(a - b), sorted(b - a))
+    assert {200, 201} <= a  # band-less docs survive the LSH funnel
+    # exact text twins (i and i+3 share tail i%3) collapse to the min id
+    assert 0 in a and not ({3, 4, 5} & a)
 
 
 def test_semantic_dedup_keeps_min_id_per_cluster(spark):
