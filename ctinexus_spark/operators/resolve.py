@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ctinexus_spark.graph.components import connected_components
 from ctinexus_spark.operators.dedup import embedding_near_dups_lsh
 from ctinexus_spark.operators.ea import embed_mentions
+from ctinexus_spark.partitioning import barrier
 
 
 def global_entity_resolution(
@@ -39,10 +40,17 @@ def global_entity_resolution(
 ) -> DataFrame:
     """entities(entity_text, ...) → (entity_text, global_id): one row
     per distinct entity text, global_id shared by all texts whose
-    similarity components connect at ≥ threshold."""
-    texts = entities.select("entity_text").distinct()
+    similarity components connect at ≥ threshold.
+
+    Both `texts` and `emb` are multi-consumer branch points (texts
+    feeds the embed pass AND the final join; emb feeds the LSH banding
+    AND both sides of the candidate re-rank join), so both go through
+    barrier() — without it every consumer recomputes the caller's
+    entire upstream lineage (measured: the full modular EA pipeline ran
+    3× inside one bench query, 37 s for a 28-entity corpus)."""
+    texts = barrier(entities.select("entity_text").distinct())
     emb = embed_mentions(texts.select(F.col("entity_text").alias("mention_text")), model)
-    emb = emb.select(F.col("mention_text").alias("entity_text"), "embedding")
+    emb = barrier(emb.select(F.col("mention_text").alias("entity_text"), "embedding"))
     pairs = embedding_near_dups_lsh(
         emb, id_col="entity_text", vec_col="embedding", threshold=threshold
     )
