@@ -60,47 +60,48 @@ def connected_components(
     when to STOP; a converged round is idempotent).
     """
     check_every = max(1, check_every)
+    # symmetric edge set WITH self-loops: the self-loop row delivers a
+    # vertex's own previous label through the SAME join that delivers
+    # its neighbors' labels, so each round references `labels` exactly
+    # ONCE. (The previous own ∪ neighbors union referenced it twice —
+    # harmless on a persisted round, but a check_every-skipped lazy
+    # round got evaluated twice, turning the sync saving into real
+    # serial work at low parallelism: measured 24 s vs 11.8 s for the
+    # same CC at local[1] vs local[4].)
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .unionByName(e.select(F.col("a"), F.col("a").alias("b")))
+        .unionByName(e.select(F.col("b").alias("a"), F.col("b")))
         .distinct()
         .persist()
     )
     # init = the FIRST propagation round folded into one aggregation:
-    # label(v) = min(v, neighbors(v)) — identical to running a round
-    # over identity labels, one driver sync cheaper (sym is symmetric,
-    # so every vertex appears on the `a` side)
+    # label(v) = min(v, neighbors(v)) — with self-loops that is simply
+    # min(b) per a; one driver sync cheaper than a real round
     labels = (
         sym.groupBy(F.col("a").alias("vertex"))
-        .agg(F.least(F.col("a"), F.min("b")).alias("component"))
+        .agg(F.min("b").alias("component"))
         .persist()
     )
     labels.count()
     pinned = labels  # the currently-persisted round frame (unpersist target)
 
-    label_type = dict(labels.dtypes)["component"]
     converged = False
     for it in range(max_iterations):
-        # candidate labels: own label ∪ neighbors' labels.  The own row
-        # carries its previous label in `old` (neighbors carry NULL), so
-        # ONE aggregation yields both the new min-label AND the
-        # convergence flag — no separate new-vs-old join per round (the
-        # join was pure latency: each round paid an extra shuffle just
-        # to ask "did anything change?").
-        neighbor_labels = (
-            sym.join(labels.withColumnRenamed("vertex", "b"), "b")
-            .select(
-                F.col("a").alias("vertex"),
-                "component",
-                F.lit(None).cast(label_type).alias("old"),
-            )
-        )
-        own = labels.select("vertex", "component", F.col("component").alias("old"))
+        # ONE join on b (self-loop row included), ONE aggregation: the
+        # new min-label AND the convergence flag (`old` = the label the
+        # self-loop row delivered) come out of the same groupBy — no
+        # separate new-vs-old join, no second labels reference.
         flagged = (
-            own.unionByName(neighbor_labels)
-            .groupBy("vertex")
-            # max(old) ignores the neighbor NULLs: exactly the own label
-            .agg(F.min("component").alias("component"), F.max("old").alias("old"))
+            sym.join(labels.withColumnRenamed("vertex", "b"), "b")
+            .groupBy(F.col("a").alias("vertex"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max(
+                    F.when(F.col("b") == F.col("a"), F.col("component"))
+                ).alias("old"),
+            )
         )
         do_check = (it + 1) % check_every == 0 or it + 1 == max_iterations
         if not do_check:
