@@ -9,11 +9,14 @@ dependency (not installable here).
 
 Two algorithms, chosen by graph shape:
 
-- `connected_components` — iterative minimum-label propagation
-  ("hash-to-min"): label(v) ← min(label(v), min over neighbors).
-  One join + one aggregation per round, O(diameter) rounds. The
-  right default for dedup/alias graphs (shallow components, tiny
-  diameter).
+- `connected_components` — a partition-local union-find contraction
+  pre-pass (contract_edges; one shuffle + one Arrow pass collapses
+  all within-partition structure to min-rooted stars) followed by
+  iterative minimum-label propagation ("hash-to-min"):
+  label(v) ← min(label(v), min over neighbors). One join + one
+  aggregation per round, O(cross-partition diameter) rounds after
+  contraction. The right default for dedup/alias graphs (shallow
+  components, tiny diameter).
 - `connected_components_stars` — alternating large-star/small-star
   (Kiveris et al. 2014, "Connected Components in MapReduce and
   Beyond"): converges in O(log² n) rounds INDEPENDENT of diameter —
@@ -36,12 +39,73 @@ from ctinexus_spark.partitioning import barrier
 CHECKPOINT_EVERY = 3
 
 
+def contract_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Partition-local union-find contraction — the classic two-phase
+    CC pre-pass (GraphX/Stergiou-style): hash-partition the edge list
+    on `src`, collapse each partition's subgraph to depth-1 stars
+    rooted at the partition-local component MINIMUM, and emit exactly
+    one (node, local_root) edge per distinct node seen in the
+    partition (roots emit a self-loop, so no vertex leaves the graph).
+
+    Connectivity-preserving: within a partition the star edges connect
+    exactly the nodes union-find merged; a node appearing in several
+    partitions carries one star edge per partition and stitches them
+    back together globally. So components(contract(E)) ==
+    components(E) over the same vertex set, while |output| <=
+    |touched vertices| regardless of |E| and every surviving edge
+    points "downhill" to a local minimum — one shuffle plus one Arrow
+    pass that removes most of the label-propagation rounds the
+    iterative phase would otherwise spend inside partitions.
+
+    Memory is O(distinct nodes per partition) on the Python worker —
+    the same class as any per-key aggregation at the configured
+    shuffle parallelism; at 100 TB the shuffle partition count, not
+    the corpus, sizes it.
+    """
+    two = edges.select(F.col(src), F.col(dst))
+    schema = two.schema
+
+    def _contract(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                ra, rb = find(a), find(b)
+                if ra == rb:
+                    parent.setdefault(ra, ra)
+                    continue
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+                parent.setdefault(ra, ra)
+        nodes = list(parent)
+        CHUNK = 1 << 16
+        for i in range(0, len(nodes), CHUNK):
+            chunk = nodes[i : i + CHUNK]
+            yield pd.DataFrame(
+                {schema[0].name: chunk, schema[1].name: [find(n) for n in chunk]}
+            )
+
+    return two.repartition(F.col(src)).mapInPandas(_contract, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
     check_every: int = 2,
+    pre_contract: bool = True,
 ) -> DataFrame:
     """edges(src, dst) → (vertex, component) where component is the
     minimum vertex id reachable. Vertex ids must be orderable
@@ -58,8 +122,21 @@ def connected_components(
     fixed cost for at most one no-op round of extra dataflow work.
     Labels are identical for any check_every (the check only decides
     when to STOP; a converged round is idempotent).
+
+    pre_contract (default True, round 5) runs contract_edges first:
+    one shuffle + one union-find Arrow pass collapses every
+    within-partition structure to depth-1 min-rooted stars, so the
+    iterative phase — whose per-round driver sync is the scaling
+    floor — only spends rounds on CROSS-partition diameter (usually
+    1-2 rounds) and joins <= |V| star edges instead of |E| raw ones.
+    Labels are identical either way (contraction preserves components
+    and the vertex set; tested). Set False to exercise raw min-label
+    propagation, whose round count is the full graph diameter.
     """
     check_every = max(1, check_every)
+    if pre_contract:
+        edges = contract_edges(edges, src, dst)
+        src, dst = edges.columns[0], edges.columns[1]
     # symmetric edge set WITH self-loops: the self-loop row delivers a
     # vertex's own previous label through the SAME join that delivers
     # its neighbors' labels, so each round references `labels` exactly

@@ -333,7 +333,9 @@ def main() -> None:
         "## Dedup-funnel throughput (the other 100 TB flagship)\n",
         "Job: end-to-end near-dup keep-list (MinHash sketch → LSH band",
         "buckets → hub-graph contraction (one CC vertex per ≥2-member",
-        "bucket; round 5) → distributed connected components → min-id",
+        "bucket; round 5) → distributed connected components (with a",
+        "partition-local union-find contraction pre-pass,",
+        "graph/components.contract_edges; round 5) → min-id",
         f"survivors), sf0.1 documents replicated {DEDUP_REPS}× with salted",
         f"ids/texts so every doc sits in a {DEDUP_REPS}-member dup cluster",
         "(real crawls carry 1000-fold clusters; star/hub edges keep CC",
@@ -359,17 +361,29 @@ def main() -> None:
         f"file (pipeline {effs['1_to_4']} ≈ "
         f"{round(effs['1_to_4'] / ceil_1_4, 2)} of ceiling; dedup "
         f"{round(dedup_eff / ceil_1_4, 2)} of ceiling).",
-        "The gap is the connected-components rounds: label-propagation",
-        "iterations whose per-check driver sync + persist latency is fixed",
-        "at ANY parallelism. Direct measurement (same materialized edge",
+        "Any ratio above the ceiling is favorable drift between",
+        "interleaved windows (one level caught a stingier grant), not",
+        "real superlinearity — read it as 'at the host ceiling'.",
+        "The dedup gap vs its bands phase is the connected-components",
+        "rounds: label-propagation iterations whose per-check driver",
+        "sync + persist latency is fixed at ANY parallelism. Since",
+        "round 5 the rounds run AFTER a partition-local union-find",
+        "contraction (contract_edges: one shuffle + one Arrow pass",
+        "collapses every within-partition structure to min-rooted",
+        "stars, so surviving rounds only resolve cross-partition",
+        "diameter — it cut the funnel's end-to-end gap from 0.53-0.60",
+        "to ~0.79). Direct measurement (same materialized edge",
         "set, CC rounds only, fresh interleaved processes, reps=32):\n",
         "| parallelism | edges | CC wall (s) |",
         "|---|---|---|",
         f"| local[1] | {cc_floor[1]['edges']} | {cc1} |",
         f"| local[4] | {cc_floor[4]['edges']} | {cc4} |",
-        f"\nThe CC wall is ~invariant to parallelism (ratio"
-        f" {round(cc4 / cc1, 2) if cc1 else 'n/a'}) — per-action scheduling",
-        "latency, not dataflow: every CC stage is an equi-join/partial-agg",
+        f"\nThe CC wall shrinks at ratio"
+        f" {round(cc4 / cc1, 2) if cc1 else 'n/a'} (perfect 4x scaling would"
+        " be 0.25): the join/agg work inside each round does scale, and the",
+        "residual above 0.25 is per-round driver sync + persist latency —",
+        "per-action scheduling, not dataflow: every CC stage is an"
+        " equi-join/partial-agg",
         "with no driver-side per-vertex state, convergence checks batch 2",
         "rounds per sync (components.py check_every), and since round 5 the",
         "funnel's CC runs on the contracted HUB graph (one vertex per",
@@ -411,10 +425,15 @@ def main() -> None:
         "",
         "## Run-to-run spread\n",
         "The hypervisor's cycle grant drifts over a session: round-4",
-        "measured KG 1 → 4 at 0.87-0.97 and dedup at 0.63-0.72 across",
-        "three identical full runs (the pure-Python burn ceiling drifts",
-        "the same way). This file reports the most recent run; the",
-        "interleaving bounds within-run drift, not between-run drift.\n",
+        "measured KG 1 → 4 at 0.87-0.97 and dedup (reps=32) at",
+        "0.63-0.72 across three identical full runs; two earlier",
+        "round-5 full runs (reps=64) measured KG at 0.918 / 0.80 and",
+        "dedup end-to-end at 0.602 / 0.53 (bands phase 0.815 / 0.891 —",
+        "the byte-touching phase is stable; the end-to-end number moves",
+        "with the CC floor's share of a drifting wall). The pure-Python",
+        "burn ceiling drifts the same way. This file reports the most",
+        "recent run; the interleaving bounds within-run drift, not",
+        "between-run drift.\n",
         "## Hot-domain skew\n",
         "north_rule: \"Skew from hot domains is handled with salted",
         "repartitioning and AQE skew-join splitting.\" Evidence: the full",

@@ -42,6 +42,59 @@ class TestConnectedComponents:
         assert got["akira_v2"] == "akira"
 
 
+class TestContraction:
+    """contract_edges: the partition-local union-find pre-pass must be
+    label-invisible — same (vertex, component) output with and without
+    it, same vertex universe."""
+
+    @pytest.mark.parametrize("seed", [3, 41, 97])
+    def test_pre_contract_matches_raw_minlabel(self, spark, seed):
+        import random
+
+        rng = random.Random(seed)
+        edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(70)]
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        with_c = {r.vertex: r.component for r in connected_components(df).collect()}
+        without = {
+            r.vertex: r.component
+            for r in connected_components(df, pre_contract=False).collect()
+        }
+        assert with_c == without and with_c
+
+    def test_contract_preserves_selfloop_only_vertices(self, spark):
+        from ctinexus_spark.graph.components import contract_edges
+
+        df = spark.createDataFrame(
+            [(1, 2), (7, 7)], "src bigint, dst bigint"
+        )
+        out = contract_edges(df).collect()
+        nodes = {r.src for r in out}
+        assert nodes == {1, 2, 7}
+        roots = {r.src: r.dst for r in out}
+        assert roots == {1: 1, 2: 1, 7: 7}
+
+    def test_contract_star_bucket_single_round(self, spark):
+        # the funnel shape: a hub with many satellites lands in ONE
+        # partition (partitioned by src) and collapses to a min-rooted
+        # star in the pre-pass
+        from ctinexus_spark.graph.components import contract_edges
+
+        df = spark.createDataFrame(
+            [(0, i) for i in range(1, 40)], "src bigint, dst bigint"
+        )
+        out = contract_edges(df).collect()
+        assert all(r.dst == 0 for r in out)
+        assert {r.src for r in out} == set(range(40))
+
+    def test_string_vertices_contracted(self, spark):
+        edges = spark.createDataFrame(
+            [("apt29", "cozy bear"), ("cozy bear", "the dukes")],
+            "src string, dst string",
+        )
+        got = {r.vertex: r.component for r in connected_components(edges).collect()}
+        assert got == {"apt29": "apt29", "cozy bear": "apt29", "the dukes": "apt29"}
+
+
 class TestStarsComponents:
     """connected_components_stars: O(log² n) rounds regardless of
     diameter (Kiveris et al. large-star/small-star)."""
@@ -70,8 +123,12 @@ class TestStarsComponents:
         edges = spark.createDataFrame(
             [(i, i + 1) for i in range(120)], "src bigint, dst bigint"
         )
+        # pre_contract=False: raw min-label needs diameter rounds by
+        # construction (with contraction the residual round count
+        # depends on how hash partitioning scatters the path, which is
+        # not what this test pins)
         with pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(edges, max_iterations=20)
+            connected_components(edges, max_iterations=20, pre_contract=False)
         got = {r.vertex: r.component for r in connected_components_stars(edges).collect()}
         assert set(got.values()) == {0}
         assert len(got) == 121
