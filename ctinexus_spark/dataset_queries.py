@@ -2114,6 +2114,159 @@ WHERE NOT EXISTS (SELECT 1 FROM final_deg WHERE degree < {k})
 ORACLES["part_pagerank"] = _pagerank_sql(iterations=5, damping=0.85)
 ORACLES["part_kcore"] = _kcore_sql(k=80)
 
+
+# --- distributed sketches (round 5) -------------------------------------
+# HyperLogLog / Count-Min / Bloom over 3-gram shingles (the corpus
+# has only 31 distinct TOKENS, so grams are the value space with real
+# cardinality: ~16k distinct corpus-wide, 1.2-1.5k per source). All
+# hashes are md5-prefix integers, so both engines agree bit-for-bit
+# (operators/sketches.py has the determinism contract).
+
+
+def _grams3_df(spark, sf_dir, with_source: bool = False):
+    """Non-distinct 3-token grams, one row per occurrence (sequential
+    positions — multiplicity matters for the Count-Min counts)."""
+    from ctinexus_spark.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(_docs(spark, sf_dir))
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cols = [F.col("source")] if with_source else []
+    return docs.select(*cols, F.explode(grams).alias("v"))
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Per-source HyperLogLog distinct-3-gram estimate (m=1024
+    registers) next to the exact distinct count — the O(1)-state
+    cardinality profile a 100 TB pipeline runs instead of
+    count(DISTINCT) over the raw corpus."""
+    from ctinexus_spark.operators import sketches as K
+
+    g = _grams3_df(spark, sf_dir, with_source=True)
+    hll = K.hll_distinct(g, "source", "v", p=10)
+    exact = g.groupBy("source").agg(
+        F.count_distinct("v").cast("bigint").alias("exact_distinct")
+    )
+    return hll.join(exact, "source")
+
+
+def q_cms_topk(spark, sf_dir):
+    """Count-Min heavy hitters: exact top-50 grams (deterministic
+    tie-break) with their 4x2048 sketch estimate alongside — the gap
+    is the collision noise the sketch trades for O(1) state."""
+    from ctinexus_spark.operators import sketches as K
+
+    g = _grams3_df(spark, sf_dir)
+    return K.cms_heavy_hitters(g, "v", depth=4, width=2048, k=50).withColumnRenamed(
+        "v", "gram"
+    )
+
+
+def q_bloom_probe(spark, sf_dir):
+    """Bloom-filter denylist probe: filter built over src0's distinct
+    grams (16384 bits, 3 hashes), probed with every distinct corpus
+    gram; emits the maybe-members with ground truth so the false
+    positives at this sizing are visible."""
+    from ctinexus_spark.operators import sketches as K
+
+    g = _grams3_df(spark, sf_dir, with_source=True)
+    deny = g.filter(F.col("source") == "src0").select("v")
+    probe = g.select("v").distinct()
+    return K.bloom_probe(probe, deny, "v", bits=16384, hashes=3).withColumnRenamed(
+        "v", "gram"
+    )
+
+
+def _hex32_sql(expr: str) -> str:
+    """DuckDB fragment: integer value of the first 8 md5 hex chars of
+    `expr` — the twin of sketches.hash32 (strpos fold, same idiom as
+    the simhash oracle)."""
+    return (
+        "CAST(list_sum(list_transform(range(1, 9), "
+        f"i -> CAST(strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1 AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << ((8 - i) * 4)))) AS BIGINT)"
+    )
+
+
+_GRAMS3_CTES = """tk AS (SELECT source, str_split(text, ' ') AS l FROM documents),
+g AS (
+  SELECT source, array_to_string(list_slice(l, i, i + 2), ' ') AS v
+  FROM tk, unnest(range(1, len(l) - 1)) t(i)
+  WHERE len(l) >= 3
+)"""
+
+ORACLES["hll_distinct"] = f"""
+WITH {_GRAMS3_CTES},
+h AS (SELECT source, {_hex32_sql('v')} AS h32 FROM g),
+rb AS (
+  SELECT source, h32 >> 22 AS bucket,
+         CASE WHEN (h32 & 4194303) = 0 THEN 23
+              ELSE 23 - length(bin(h32 & 4194303)) END AS m_j
+  FROM h
+),
+regs AS (SELECT source, bucket, max(m_j) AS m_j FROM rb GROUP BY source, bucket),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS nonzero_registers,
+         sum(1.0::DOUBLE / CAST((1::BIGINT << m_j) AS DOUBLE)) AS s
+  FROM regs GROUP BY source
+),
+ex AS (SELECT source, CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct FROM g GROUP BY source)
+SELECT a.source, a.nonzero_registers,
+       (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE))
+         * 1048576.0::DOUBLE
+         / (a.s + CAST(1024 - a.nonzero_registers AS DOUBLE)) AS hll_est,
+       ex.exact_distinct
+FROM agg a JOIN ex ON a.source = ex.source
+"""
+
+ORACLES["cms_topk"] = f"""
+WITH {_GRAMS3_CTES},
+cells AS (
+  SELECT t.i AS r, {_hex32_sql("CAST(t.i AS VARCHAR) || '|' || v")} % 2048 AS b
+  FROM g, range(0, 4) t(i)
+),
+sk AS (SELECT r, b, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY r, b),
+ex AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS exact_cnt FROM g GROUP BY v
+  ORDER BY exact_cnt DESC, v LIMIT 50
+),
+pr AS (
+  SELECT ex.v, ex.exact_cnt, t.i AS r,
+         {_hex32_sql("CAST(t.i AS VARCHAR) || '|' || ex.v")} % 2048 AS b
+  FROM ex, range(0, 4) t(i)
+)
+SELECT pr.v AS gram, pr.exact_cnt, min(sk.cnt) AS cms_est
+FROM pr JOIN sk ON pr.r = sk.r AND pr.b = sk.b
+GROUP BY pr.v, pr.exact_cnt
+"""
+
+ORACLES["bloom_probe"] = f"""
+WITH {_GRAMS3_CTES},
+deny AS (SELECT DISTINCT v FROM g WHERE source = 'src0'),
+dpos AS (
+  SELECT DISTINCT {_hex32_sql("CAST(t.i AS VARCHAR) || '|' || v")} % 16384 AS pos
+  FROM deny, range(0, 3) t(i)
+),
+probe AS (SELECT DISTINCT v FROM g),
+ppos AS (
+  SELECT v, {_hex32_sql("CAST(t.i AS VARCHAR) || '|' || v")} % 16384 AS pos
+  FROM probe, range(0, 3) t(i)
+),
+hits AS (SELECT v FROM ppos JOIN dpos USING (pos) GROUP BY v HAVING count(*) = 3)
+SELECT h.v AS gram, (d.v IS NOT NULL) AS is_member
+FROM hits h LEFT JOIN deny d ON h.v = d.v
+"""
+
+QUERIES["hll_distinct"] = q_hll_distinct
+QUERIES["cms_topk"] = q_cms_topk
+QUERIES["bloom_probe"] = q_bloom_probe
+
 # headline bench additions (scale-path variants only)
 BENCH_QUERIES = {
     "dedup_minhash_lsh": q_lsh_candidates,

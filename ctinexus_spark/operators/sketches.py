@@ -1,0 +1,234 @@
+"""Distributed sketches: HyperLogLog cardinality, Count-Min heavy
+hitters, Bloom-filter membership.
+
+At 100 TB these are the O(1)-state answers to "how many distinct X",
+"which values are hot", and "is this fingerprint denylisted": each
+sketch is a few KB of registers that merge associatively across
+partitions, so Catalyst plans them as map-side partial aggregates
+plus a tiny final reduce — raw values never ship through a shuffle,
+and the probe side joins against a broadcast of the finished sketch.
+
+Determinism contract (DuckDB oracle parity): every hash is the
+integer value of the first 8 hex chars of an md5 (identical in Spark
+via conv(substr(md5..), 16, 10) and in DuckDB via a strpos fold);
+register folds are integer maxima/sums or sums of exact powers of
+two (1/2^rho spans < 53 mantissa bits, so the double sum is exact
+and order-independent); the one float chain per sketch (the HLL
+estimator) is a fixed-order IEEE mul/div chain. Results are
+bit-exact across engines — see dataset_queries.py for the twins.
+
+Reference scope: the reference engine (peng-gao-lab/ctinexus) has no
+sketch layer; this extends the training-data-pipeline families the
+rebuild adds on top of SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "hash32",
+    "hll_distinct",
+    "cms_sketch",
+    "cms_heavy_hitters",
+    "bloom_positions",
+    "bloom_probe",
+]
+
+
+def hash32(col: Column, salt: int | None = None) -> Column:
+    """Deterministic 32-bit hash: integer value of the first 8 md5
+    hex chars (salted with '{salt}|' prefix). Portable to DuckDB."""
+    x = F.concat(F.lit(f"{salt}|"), col) if salt is not None else col
+    return F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+
+
+# --- HyperLogLog --------------------------------------------------------
+
+
+def hll_distinct(
+    values: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate over a value column.
+
+    (group, nonzero_registers, hll_est): m = 2^p registers; bucket =
+    top p bits of the 32-bit hash, rho = leading-zero rank of the
+    remaining (32-p) bits. Raw Flajolet estimator alpha*m^2 /
+    sum(2^-M_j) — no small-range linear-counting correction, because
+    that needs ln() and libm vs JVM logs differ in the last ulp
+    (lm_scores precedent); callers wanting the correction can apply
+    it to hll_est + nonzero_registers downstream.
+
+    Plan shape: two hash aggregations with map-side partial combine
+    ((group, bucket) max-rho, then per-group sum over <= m register
+    rows). The value column itself never shuffles.
+    """
+    m = 1 << p
+    rest = 32 - p
+    h = hash32(F.col(value_col))
+    bucket = F.shiftright(h, rest)
+    w = h.bitwiseAND(F.lit((1 << rest) - 1))
+    # leading-zero rank within `rest` bits: rest+1 - bitlength(w)
+    rho = F.when(w == 0, F.lit(rest + 1)).otherwise(
+        F.lit(rest + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        values.select(F.col(group_col), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    # 1/2^m_j is an exact power of two; the sum spans < 53 mantissa
+    # bits, so it is exact and shuffle-order-independent.
+    inv_pow = F.expr("CAST(1.0 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), m_j) AS DOUBLE)")
+    agg = regs.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("nonzero_registers"),
+        F.sum(inv_pow).alias("_s"),
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    est = (alpha * F.lit(float(m * m))) / (
+        F.col("_s") + (F.lit(m) - F.col("nonzero_registers")).cast("double")
+    )
+    return agg.select(
+        F.col(group_col),
+        F.col("nonzero_registers"),
+        est.alias("hll_est"),
+    )
+
+
+# --- Count-Min ----------------------------------------------------------
+
+
+def cms_sketch(
+    values: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """(row, bucket, cnt): Count-Min counter table, depth x width.
+    Built with one explode(depth) + one partial-combined count — the
+    result is depth*width rows regardless of input size, i.e. a
+    broadcastable sketch."""
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (hash32(F.col(value_col), salt=i) % width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        values.select(F.explode(hashes).alias("h"))
+        .groupBy(F.col("h.row").alias("row"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    values: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    k: int = 50,
+) -> DataFrame:
+    """(value, exact_cnt, cms_est) for the exact top-k values — the
+    heavy-hitter report with its Count-Min estimate alongside the
+    exact count (cms_est >= exact_cnt always; the gap is the sketch's
+    collision noise at this width).
+
+    Candidates come from the exact count (deterministic tie-break:
+    cnt desc, value asc — TakeOrderedAndProject, no full sort); at
+    crawl scale the candidate set would come from a per-partition
+    pre-top-k, which is the same plan shape. Estimation joins the
+    k*depth candidate probes against a broadcast of the finished
+    depth*width sketch."""
+    sketch = cms_sketch(values, value_col, depth=depth, width=width)
+    exact = (
+        values.groupBy(value_col)
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col(value_col))
+        .limit(k)
+    )
+    probes = exact.select(
+        F.col(value_col),
+        F.col("exact_cnt"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (hash32(F.col(value_col), salt=i) % width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("h"),
+    ).select(
+        F.col(value_col),
+        F.col("exact_cnt"),
+        F.col("h.row").alias("p_row"),
+        F.col("h.bucket").alias("p_bucket"),
+    )
+    return (
+        probes.join(
+            F.broadcast(sketch),
+            (probes["p_row"] == sketch["row"]) & (probes["p_bucket"] == sketch["bucket"]),
+        )
+        .groupBy(value_col, "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+# --- Bloom filter -------------------------------------------------------
+
+
+def bloom_positions(
+    deny: DataFrame,
+    value_col: str,
+    bits: int = 16384,
+    hashes: int = 3,
+) -> DataFrame:
+    """(pos): the distinct set bit positions of a Bloom filter built
+    over the deny set — the relational form of the bitset (<= bits
+    rows, broadcastable)."""
+    pos = F.array(*[hash32(F.col(value_col), salt=i) % bits for i in range(hashes)])
+    return deny.select(F.explode(pos).alias("pos")).distinct()
+
+
+def bloom_probe(
+    probe: DataFrame,
+    deny: DataFrame,
+    value_col: str,
+    bits: int = 16384,
+    hashes: int = 3,
+) -> DataFrame:
+    """(value, is_member) for every probe value the Bloom filter
+    flags as maybe-member. is_member is ground truth (broadcast
+    semi-check against the deny set), so `NOT is_member` rows are the
+    filter's false positives at this bits/hashes sizing.
+
+    A probe row is flagged iff ALL `hashes` of its positions are set:
+    each exploded (value, pos) row joins the distinct position table
+    at most once, so count(*) == hashes is exactly set containment
+    (duplicate positions within one value's hash list don't break
+    this — the duplicate either matches twice or misses twice).
+    """
+    deny_d = deny.select(F.col(value_col)).distinct()
+    deny_pos = bloom_positions(deny_d, value_col, bits=bits, hashes=hashes)
+    pos = F.array(*[hash32(F.col(value_col), salt=i) % bits for i in range(hashes)])
+    probe_pos = probe.select(F.col(value_col), F.explode(pos).alias("pos"))
+    flagged = (
+        probe_pos.join(F.broadcast(deny_pos), "pos")
+        .groupBy(value_col)
+        .agg(F.count("*").alias("_hits"))
+        .filter(F.col("_hits") == hashes)
+        .select(value_col)
+    )
+    membership = deny_d.withColumn("is_member", F.lit(True))
+    return flagged.join(F.broadcast(membership), value_col, "left").select(
+        F.col(value_col),
+        F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
+    )

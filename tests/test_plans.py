@@ -55,7 +55,7 @@ QUADRATIC_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
      "pq_codes", "pq_adc_topk", "ivf_pq_topk", "part_triangles", "repetition_ratios",
      "lm_scores", "decontaminate", "vocab_topk", "line_dedup", "domain_cap",
      "dsir_features", "bpe_merges", "token_pmi", "dup_grams", "cdc_chunks",
-     "langid"],
+     "langid", "hll_distinct", "cms_topk", "bloom_probe"],
 )
 def test_no_quadratic_plan_in_scale_queries(spark, qname):
     """Every headline dedup/similarity query must plan as equi joins.

@@ -1,0 +1,114 @@
+"""Sketch-operator semantics: HLL accuracy + register mechanics,
+Count-Min no-underestimate guarantee, Bloom no-false-negative
+guarantee — properties the DuckDB hash parity (test_entry_contract)
+can't express, checked against exact recomputation on the same data."""
+
+import hashlib
+import os
+import sys
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ctinexus_spark import dataset_queries as dq
+from ctinexus_spark.operators import sketches as K
+
+SF = "/root/testdata/sf0.01"
+
+
+def _values(spark, n, groups=1):
+    rows = [
+        Row(g=f"g{i % groups}", v=f"value-{i}") for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """m=1024 registers → relative error ~1.04/sqrt(m) ≈ 3.2%; assert
+    a generous 4-sigma band on a 5000-distinct synthetic set."""
+    df = _values(spark, 5000)
+    out = K.hll_distinct(df, "g", "v", p=10).collect()
+    assert len(out) == 1
+    est = out[0]["hll_est"]
+    assert abs(est - 5000) / 5000 < 0.13, est
+
+
+def test_hll_insensitive_to_duplicates(spark):
+    """HLL registers are maxima — feeding each value 3x must produce
+    the identical sketch output (the whole point of the estimator)."""
+    base = _values(spark, 800)
+    dup = base.union(base).union(base)
+    a = K.hll_distinct(base, "g", "v", p=10).collect()[0]
+    b = K.hll_distinct(dup, "g", "v", p=10).collect()[0]
+    assert a["hll_est"] == b["hll_est"]
+    assert a["nonzero_registers"] == b["nonzero_registers"]
+
+
+def test_hll_rho_matches_python(spark):
+    """Register mechanics vs a direct python recomputation: bucket =
+    top 10 hash bits, rho = leading-zero rank of the low 22."""
+    df = _values(spark, 200)
+    regs = (
+        df.select(
+            F.shiftright(K.hash32(F.col("v")), 22).alias("bucket"),
+            F.col("v"),
+        )
+        .collect()
+    )
+    for r in regs:
+        h = int(hashlib.md5(r["v"].encode()).hexdigest()[:8], 16)
+        assert r["bucket"] == h >> 22
+
+
+def test_cms_never_underestimates(spark):
+    out = dq.q_cms_topk(spark, SF).collect()
+    assert len(out) == 50
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in out)
+    # the sf0.01 corpus repeats its hottest 3-token spans ~19% of
+    # positions but spreads them thin: top exact count is single-digit
+    top = max(out, key=lambda r: (r["exact_cnt"],))
+    assert top["exact_cnt"] >= 5
+
+
+def test_cms_estimate_exact_on_sparse_input(spark):
+    """With far fewer values than cells (20 values into 4x2048), the
+    min over 4 rows collides with nothing: estimate == exact."""
+    df = _values(spark, 20)
+    vals = df.union(df)  # counts of 2 each
+    out = K.cms_heavy_hitters(vals, "v", depth=4, width=2048, k=20).collect()
+    assert len(out) == 20
+    assert all(r["cms_est"] == r["exact_cnt"] == 2 for r in out)
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every true member MUST be flagged — Bloom's one hard
+    guarantee. FPs are allowed but bounded at this sizing."""
+    out = dq.q_bloom_probe(spark, SF).collect()
+    flagged = {r["gram"] for r in out}
+    members = {r["gram"] for r in out if r["is_member"]}
+    deny = {
+        r["v"]
+        for r in dq._grams3_df(spark, SF, with_source=True)
+        .filter(F.col("source") == "src0")
+        .select("v")
+        .distinct()
+        .collect()
+    }
+    assert members == deny  # no false negatives, ground truth correct
+    n_probe = dq._grams3_df(spark, SF).select("v").distinct().count()
+    fp = len(flagged) - len(members)
+    # fill ratio ~22% → expected FP rate ~1.1%; assert < 5%
+    assert fp / (n_probe - len(deny)) < 0.05, fp
+
+
+def test_sketch_sizes_are_bounded(spark):
+    """The scale contract: sketch row counts depend on (p, depth,
+    width), never on input size."""
+    big = _values(spark, 4000)
+    assert K.cms_sketch(big, "v", depth=4, width=64).count() <= 4 * 64
+    assert (
+        K.hll_distinct(big, "g", "v", p=6).collect()[0]["nonzero_registers"] <= 64
+    )
+    assert K.bloom_positions(big, "v", bits=128, hashes=3).count() <= 128
