@@ -50,10 +50,13 @@ CHANGED_THIS_ROUND = [
     "dedup_keeplist",
     "semantic_dedup",
     "kg_global_entities",
-    # new this round (no prior green row exists): distributed sketches
+    # new this round (no prior green row exists): distributed sketches,
+    # BM25 retrieval, exact quantiles
     "hll_distinct",
     "cms_topk",
     "bloom_probe",
+    "bm25_topk",
+    "doc_len_quantiles",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of
@@ -91,12 +94,12 @@ ROTATION_HISTORY: dict[str, list[str]] = {
         "shingle_overlap", "emb_cosine_pairs", "ann_topk",
         "lsh_buckets", "lsh_topk", "knn_vote", "mm_metadata",
         "mm_frame_plan", "url_ops",
-        "ea_entities_merged", "ea_entities_cc", "ie_demo_topk",
-        "ea_ioc_unmerge",
-        # lp_links_flaky / kg_fused / lp_split_graph rotated out to
-        # make room for the sketch queries — all three were green in
-        # the r04 window and their backing code is unchanged this
-        # round (union coverage keeps them via r04).
+        "ea_entities_merged", "ea_entities_cc",
+        # ie_demo_topk / ea_ioc_unmerge / lp_links_flaky / kg_fused /
+        # lp_split_graph rotated out to make room for the sketch +
+        # retrieval/quantile queries — all five were green in the r04
+        # window and their backing code is unchanged this round
+        # (union coverage keeps them via r04).
     ],
 }
 

@@ -2267,6 +2267,168 @@ QUERIES["hll_distinct"] = q_hll_distinct
 QUERIES["cms_topk"] = q_cms_topk
 QUERIES["bloom_probe"] = q_bloom_probe
 
+
+# --- BM25 retrieval + exact quantiles (round 5) -------------------------
+
+# BM25 constants, computed ONCE in Python and embedded verbatim on
+# both engines (repr round-trips to the identical double; DuckDB bare
+# literals are DECIMAL, so every embedding carries ::DOUBLE)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K1P1 = _BM25_K1 + 1.0
+_BM25_1MB = 1.0 - _BM25_B
+
+
+def _bm25_query_terms(doc_terms):
+    """Deterministic fixture-free query set: rank corpus 3-grams by
+    (count desc, gram asc) and slice three bands — q_hot (ranks 1-5),
+    q_mid (51-55), q_tail (201-205). Self-contained at every sf (the
+    corpus has >> 205 distinct grams at sf0.001 already)."""
+    from pyspark.sql import Window
+
+    ranked = (
+        doc_terms.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term"))
+        .limit(205)
+    )
+    r = F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("term")))
+    qid = (
+        F.when(F.col("r") <= 5, F.lit("q_hot"))
+        .when((F.col("r") >= 51) & (F.col("r") <= 55), F.lit("q_mid"))
+        .when((F.col("r") >= 201) & (F.col("r") <= 205), F.lit("q_tail"))
+    )
+    return (
+        ranked.withColumn("r", r)
+        .select(qid.alias("query_id"), "term")
+        .filter(F.col("query_id").isNotNull())
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Corpus-wide BM25 top-10 per query over 3-gram terms, with the
+    query set derived from the corpus itself (hot/mid/tail gram
+    bands). Rational-idf scoring — bit-exact across engines; rankings
+    identical to log-idf BM25 (monotone transform)."""
+    from ctinexus_spark.operators import retrieval as R
+    from ctinexus_spark.partitioning import barrier, ensure_parallelism
+
+    docs = ensure_parallelism(_docs(spark, sf_dir))
+    doc_terms = R.ngram_terms(docs, n=3)
+    # the query-term table feeds two joins inside bm25_topk — barrier
+    # the branch point (CLAUDE gotcha: lazy persist races; and the
+    # ranked derivation shouldn't recompute per consumer)
+    qterms = barrier(_bm25_query_terms(doc_terms))
+    return R.bm25_topk(
+        doc_terms, qterms, k1=_BM25_K1, b=_BM25_B, k=10, idf="rational"
+    )
+
+
+def q_doc_len_quantiles(spark, sf_dir):
+    """Exact token-count quantiles of the document corpus — the
+    length-threshold profile (Gopher-style cuts) computed exactly via
+    (value, count) aggregation + running sum, instead of the
+    engine-specific percentile_approx sketch."""
+    from ctinexus_spark.operators import stats as ST
+    from ctinexus_spark.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(_docs(spark, sf_dir))
+    lens = docs.select(
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    return ST.exact_quantiles(
+        lens, "n_tokens", qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    )
+
+
+_BM25_DT_CTES = """tk AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+dt AS (
+  SELECT doc_id, array_to_string(list_slice(l, i, i + 2), ' ') AS term
+  FROM tk, unnest(range(1, len(l) - 1)) t(i)
+  WHERE len(l) >= 3
+)"""
+
+ORACLES["bm25_topk"] = f"""
+WITH {_BM25_DT_CTES},
+ranked AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY term
+  ORDER BY c DESC, term LIMIT 205
+),
+rk AS (SELECT term, row_number() OVER (ORDER BY c DESC, term) AS r FROM ranked),
+qt AS (
+  SELECT CASE WHEN r <= 5 THEN 'q_hot'
+              WHEN r BETWEEN 51 AND 55 THEN 'q_mid'
+              WHEN r BETWEEN 201 AND 205 THEN 'q_tail' END AS query_id, term
+  FROM rk
+  WHERE r <= 5 OR r BETWEEN 51 AND 55 OR r BETWEEN 201 AND 205
+),
+tf AS (
+  SELECT dt.doc_id, dt.term, CAST(count(*) AS BIGINT) AS tf
+  FROM dt JOIN (SELECT DISTINCT term FROM qt) v USING (term)
+  GROUP BY dt.doc_id, dt.term
+),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM dt GROUP BY doc_id),
+sc AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+ct AS (
+  SELECT qt.query_id, tf.doc_id, tf.term,
+         (((sc.n_docs - CAST(dft.df AS DOUBLE)) + 0.5::DOUBLE)
+            / (CAST(dft.df AS DOUBLE) + 0.5::DOUBLE))
+           * (CAST(tf.tf AS DOUBLE) * {_BM25_K1P1!r}::DOUBLE)
+           / (CAST(tf.tf AS DOUBLE)
+              + {_BM25_K1!r}::DOUBLE
+                * ({_BM25_1MB!r}::DOUBLE
+                   + {_BM25_B!r}::DOUBLE
+                     * (CAST(dl.dl AS DOUBLE) / sc.avgdl))) AS contrib
+  FROM tf
+  JOIN dft USING (term)
+  JOIN qt USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN sc
+),
+pd AS (
+  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+         list_sum(list(contrib ORDER BY term)) AS score
+  FROM ct GROUP BY query_id, doc_id
+),
+rkd AS (
+  SELECT query_id, doc_id, n_hit, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM pd
+)
+SELECT query_id, doc_id, n_hit, score, rank FROM rkd WHERE rank <= 10
+"""
+
+ORACLES["doc_len_quantiles"] = """
+WITH v AS (
+  SELECT CAST(len(str_split(text, ' ')) AS BIGINT) AS value FROM documents
+),
+c AS (SELECT value, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY value),
+cum AS (
+  SELECT value,
+         CAST(sum(cnt) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_le
+  FROM c
+),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c),
+qq AS (
+  SELECT unnest([0.1::DOUBLE, 0.25::DOUBLE, 0.5::DOUBLE,
+                 0.75::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q
+)
+SELECT qq.q, min(cum.value) AS value, min(cum.n_le) AS n_le,
+       min(t.n_total) AS n_total
+FROM cum, t, qq
+WHERE cum.n_le >= CAST(ceil(qq.q * CAST(t.n_total AS DOUBLE)) AS BIGINT)
+GROUP BY qq.q
+"""
+
+QUERIES["bm25_topk"] = q_bm25_topk
+QUERIES["doc_len_quantiles"] = q_doc_len_quantiles
+
 # headline bench additions (scale-path variants only)
 BENCH_QUERIES = {
     "dedup_minhash_lsh": q_lsh_candidates,
@@ -2285,6 +2447,10 @@ BENCH_QUERIES = {
     "token_pmi": q_token_pmi,
     "graph_pagerank": q_graph_pagerank_bench,
     "dedup_incremental": q_dedup_incremental,
+    # O(1)-state sketches (round 5): the cardinality/heavy-hitter
+    # profiles a 100 TB pipeline runs instead of exact distincts
+    "sketch_hll": q_hll_distinct,
+    "sketch_cms": q_cms_topk,
 }
 
 

@@ -1,0 +1,71 @@
+"""Exact distributed quantiles over bounded-domain value columns.
+
+`percentile_approx` is the Spark built-in for quantiles, but its
+Greenwald-Khanna sketch is engine-specific — no other engine
+reproduces its outputs, so it can't sit behind a cross-engine
+correctness gate, and data-pipeline cut decisions (length filters,
+quality thresholds) made from it aren't replayable elsewhere. For
+the distributions a pipeline actually thresholds on — token counts,
+line counts, scores binned to integers — the value DOMAIN is small
+even when the row count is 10^12, and the exact quantile is cheap:
+aggregate to (value, count) with map-side partial combine, take a
+running sum over the distinct values, and pick the smallest value
+whose cumulative count reaches ceil(q * N).
+
+That definition (inclusive lower quantile, the smallest v with
+rank >= ceil(q*N)) is pure integer arithmetic plus one IEEE multiply
+per q, so Spark and DuckDB agree bit-for-bit. The one window runs
+over DISTINCT VALUES (single partition by construction — disclosed
+limit: this operator is for bounded domains; for unbounded ones, bin
+first). N attaches as a lazy keyless aggregate (one allowed
+BroadcastNestedLoopJoin); probabilities fan out via explode of a
+literal array — no join against a probe table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["exact_quantiles"]
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """(q, value, n_le, n_total): for each probability q, the exact
+    inclusive lower quantile of value_col — the smallest value whose
+    cumulative row count n_le reaches ceil(q * n_total). q=1.0 is the
+    maximum; nulls are excluded from counts and candidates."""
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("value"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("n_le", F.sum("cnt").over(w).cast("bigint"))
+    totals = counts.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    qcol = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    return (
+        cum.crossJoin(totals)
+        .select(qcol, "value", "n_le", "n_total")
+        .filter(
+            F.col("n_le")
+            >= F.ceil(F.col("q") * F.col("n_total").cast("double")).cast(
+                "bigint"
+            )
+        )
+        .groupBy("q")
+        .agg(
+            F.min(F.struct("value", "n_le", "n_total")).alias("s")
+        )
+        .select(
+            "q",
+            F.col("s.value").alias("value"),
+            F.col("s.n_le").alias("n_le"),
+            F.col("s.n_total").alias("n_total"),
+        )
+    )
