@@ -2429,6 +2429,60 @@ GROUP BY qq.q
 QUERIES["bm25_topk"] = q_bm25_topk
 QUERIES["doc_len_quantiles"] = q_doc_len_quantiles
 
+
+def q_part_communities(spark, sf_dir):
+    """Label-propagation communities over the (distinct) supplier→part
+    shipment graph, 4 synchronous rounds — the deterministic LPA
+    variant (most frequent neighbor label, ties to the smallest).
+    Fixed round count ⇒ ZERO driver syncs; the oracle is the same
+    recurrence unrolled in SQL. Output adds the community size."""
+    from ctinexus_spark.graph.analytics import label_propagation
+    from ctinexus_spark.partitioning import barrier
+
+    edges = _shipment_edges(spark, sf_dir).distinct()
+    labels = barrier(label_propagation(edges, rounds=4))
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("comm_size")
+    )
+    return labels.join(sizes, "label").select("vertex", "label", "comm_size")
+
+
+def _lpa_sql(rounds: int) -> str:
+    """DuckDB twin of q_part_communities: the LPA recurrence unrolled
+    `rounds` times (vote counts are integers; the argmax is the
+    lexicographic struct min — both engines agree exactly)."""
+    parts = [
+        """e AS (
+  SELECT DISTINCT 's' || l_suppkey AS a, 'p' || l_partkey AS b FROM lineitem
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+l0 AS (SELECT DISTINCT a AS v, a AS label FROM und)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""v{r} AS (
+  SELECT u.a AS v, l.label, CAST(count(*) AS BIGINT) AS cnt
+  FROM und u JOIN l{r - 1} l ON u.b = l.v GROUP BY u.a, l.label
+),
+l{r} AS (
+  SELECT v, (min(struct_pack(nc := -cnt, lb := label))).lb AS label
+  FROM v{r} GROUP BY v
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+cs AS (SELECT label, CAST(count(*) AS BIGINT) AS comm_size FROM l{rounds} GROUP BY label)
+SELECT l{rounds}.v AS vertex, l{rounds}.label, cs.comm_size
+FROM l{rounds} JOIN cs USING (label)
+"""
+    )
+
+
+ORACLES["part_communities"] = _lpa_sql(rounds=4)
+QUERIES["part_communities"] = q_part_communities
+
 # headline bench additions (scale-path variants only)
 BENCH_QUERIES = {
     "dedup_minhash_lsh": q_lsh_candidates,
@@ -2451,6 +2505,8 @@ BENCH_QUERIES = {
     # profiles a 100 TB pipeline runs instead of exact distincts
     "sketch_hll": q_hll_distinct,
     "sketch_cms": q_cms_topk,
+    # zero-driver-sync iterative graph op (fixed-round LPA)
+    "graph_lpa": q_part_communities,
 }
 
 

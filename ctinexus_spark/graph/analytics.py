@@ -307,3 +307,67 @@ def k_core(
     raise RuntimeError(
         f"k_core did not converge within {max_iterations} peel rounds"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(vertex, label): synchronous label-propagation community
+    detection, deterministic variant — every vertex starts as its own
+    label; each round it adopts the most frequent label among its
+    NEIGHBORS (self-vote excluded), ties broken by the smallest
+    label. Fixed `rounds` iterations, no convergence action: the
+    round count is part of the semantics, so there are ZERO driver
+    syncs in the whole query (unlike connected_components, whose
+    convergence check is a per-round action) and the DuckDB oracle is
+    the same recurrence unrolled.
+
+    Integer/string-only arithmetic: the vote argmax is
+    min(struct(-count, label)) — lexicographic struct min on both
+    engines (the line_dedup winner pattern) — so results hash-match
+    bit-for-bit.
+
+    Scale shape per round: one equi-join (neighbor label lookup,
+    shuffle on vertex id) + two partial-combined aggregations; the
+    labels frame is referenced ONCE per round, so lineage grows
+    linearly (no 2^k recompute — the connected_components
+    check_every>2 trap does not apply). Dense communities collapse
+    their vote traffic map-side because (v, label) pairs partial-
+    aggregate before the shuffle. Duplicate edges act as vote
+    weights; pass a distinct edge table for unweighted semantics.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    # und is referenced in EVERY round — barrier it once or each round
+    # re-scans (and re-shuffles) the upstream edge derivation (the
+    # pagerank weighted-edge pattern)
+    und = barrier(
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
+    labels = (
+        und.select(F.col("a").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+    )
+    for r in range(rounds):
+        votes = (
+            und.join(labels.withColumnRenamed("v", "b"), "b")
+            .groupBy(F.col("a").alias("v"), "label")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("v")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("lb"))
+                ).alias("w")
+            )
+            .select("v", F.col("w.lb").alias("label"))
+        )
+        if (r + 1) % CHECKPOINT_EVERY == 0 and r + 1 < rounds:
+            labels = barrier(labels)  # bound linear lineage on long runs
+    return labels.select(F.col("v").alias("vertex"), "label")
