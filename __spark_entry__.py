@@ -58,6 +58,7 @@ CHANGED_THIS_ROUND = [
     "bm25_topk",
     "doc_len_quantiles",
     "part_communities",
+    "cluster_topics",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of
@@ -95,12 +96,12 @@ ROTATION_HISTORY: dict[str, list[str]] = {
         "shingle_overlap", "emb_cosine_pairs", "ann_topk",
         "lsh_buckets", "lsh_topk", "knn_vote", "mm_metadata",
         "mm_frame_plan", "url_ops",
-        "ea_entities_merged",
-        # ea_entities_cc / ie_demo_topk / ea_ioc_unmerge /
-        # lp_links_flaky / kg_fused / lp_split_graph rotated out to
-        # make room for the sketch + retrieval/quantile/LPA queries —
-        # all six were green in the r04 window and their backing code
-        # is unchanged this round (union coverage keeps them via r04).
+        # ea_entities_merged / ea_entities_cc / ie_demo_topk /
+        # ea_ioc_unmerge / lp_links_flaky / kg_fused / lp_split_graph
+        # rotated out to make room for the sketch / retrieval /
+        # quantile / LPA / topic queries — all seven were green in the
+        # r04 window and their backing code is unchanged this round
+        # (union coverage keeps them via r04).
     ],
 }
 

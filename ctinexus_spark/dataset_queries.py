@@ -2483,6 +2483,61 @@ FROM l{rounds} JOIN cs USING (label)
 ORACLES["part_communities"] = _lpa_sql(rounds=4)
 QUERIES["part_communities"] = q_part_communities
 
+
+def q_cluster_topics(spark, sf_dir):
+    """Per-cluster topic signatures: IVF-cell document clusters
+    labeled with their top-5 DISTINCTIVE 3-grams by lift ratio
+    p(gram|cell)/p(gram) — the BERTopic c-TF-IDF shape (lift written
+    as a fixed-order IEEE chain, engine bit-exact; BERTopic's log
+    weighting is a monotone transform). min_count=2: the sf corpora
+    put 20-83 twice-seen grams in every cell; >=3 empties cells."""
+    from ctinexus_spark.operators import retrieval as R
+    from ctinexus_spark.operators import similarity as S
+    from ctinexus_spark.operators import stats as ST
+    from ctinexus_spark.partitioning import barrier, ensure_parallelism
+
+    assign = barrier(S.ivf_assign(_emb(spark, sf_dir)))
+    docs = ensure_parallelism(_docs(spark, sf_dir))
+    return ST.cluster_topic_terms(
+        assign, R.ngram_terms(docs, n=3), min_count=2, k=5
+    )
+
+
+ORACLES["cluster_topics"] = f"""
+WITH {_IVF_ASSIGN_SQL},
+{_BM25_DT_CTES},
+tg AS (
+  SELECT a.cell, dt.term FROM dt JOIN assign a ON dt.doc_id = a.vec_id
+),
+cnt AS (
+  SELECT cell, term, CAST(count(*) AS BIGINT) AS n FROM tg GROUP BY cell, term
+),
+ctot AS (SELECT cell, CAST(sum(n) AS BIGINT) AS ct FROM cnt GROUP BY cell),
+ttot AS (SELECT term, CAST(sum(n) AS BIGINT) AS tn FROM cnt GROUP BY term),
+grand AS (SELECT CAST(sum(n) AS DOUBLE) AS grand FROM cnt),
+sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_docs FROM assign GROUP BY cell),
+scored AS (
+  SELECT cnt.cell, cnt.term AS gram, cnt.n,
+         (CAST(cnt.n AS DOUBLE) * grand.grand)
+           / (CAST(ctot.ct AS DOUBLE) * CAST(ttot.tn AS DOUBLE)) AS ratio
+  FROM cnt
+  JOIN ctot USING (cell)
+  JOIN ttot ON cnt.term = ttot.term
+  CROSS JOIN grand
+  WHERE cnt.n >= 2
+),
+rk AS (
+  SELECT cell, gram, n, ratio,
+         CAST(row_number() OVER (
+           PARTITION BY cell ORDER BY ratio DESC, gram) AS INT) AS rank
+  FROM scored
+)
+SELECT rk.cell, rk.gram, rk.n, sz.n_docs, rk.ratio, rk.rank
+FROM rk JOIN sz USING (cell) WHERE rank <= 5
+"""
+
+QUERIES["cluster_topics"] = q_cluster_topics
+
 # headline bench additions (scale-path variants only)
 BENCH_QUERIES = {
     "dedup_minhash_lsh": q_lsh_candidates,

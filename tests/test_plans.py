@@ -56,7 +56,7 @@ QUADRATIC_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
      "lm_scores", "decontaminate", "vocab_topk", "line_dedup", "domain_cap",
      "dsir_features", "bpe_merges", "token_pmi", "dup_grams", "cdc_chunks",
      "langid", "hll_distinct", "cms_topk", "bloom_probe", "bm25_topk",
-     "doc_len_quantiles", "part_communities"],
+     "doc_len_quantiles", "part_communities", "cluster_topics"],
 )
 def test_no_quadratic_plan_in_scale_queries(spark, qname):
     """Every headline dedup/similarity query must plan as equi joins.
@@ -73,7 +73,12 @@ def test_no_quadratic_plan_in_scale_queries(spark, qname):
     # aggregates). Any additional BNLJ — e.g. a regression introducing
     # a data-sized nested-loop build — exceeds the exact budget and
     # fails, restoring the per-node strictness the old blanket ban had.
-    BNLJ_BUDGET = {"token_pmi": 2, "bm25_topk": 1, "doc_len_quantiles": 1}
+    BNLJ_BUDGET = {
+        "token_pmi": 2,
+        "bm25_topk": 1,
+        "doc_len_quantiles": 1,
+        "cluster_topics": 1,
+    }
 
     plan = plan_of(dq.QUERIES[qname](spark, SF))
     assert "CartesianProduct" not in plan, f"{qname} plans a CartesianProduct:\n{plan}"

@@ -163,6 +163,62 @@ def test_quantiles_exclude_nulls(spark):
     assert out[1.0]["n_total"] == 2
 
 
+# --- cluster topic terms ------------------------------------------------
+
+
+def test_cluster_topics_match_python(spark):
+    """Lift-ratio top-k vs a direct python recomputation on a tiny
+    two-cluster corpus with a shared background term."""
+    assign = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], ["vec_id", "cell"]
+    )
+    occurrences = (
+        [(1, "bg")] * 3 + [(1, "aaa")] * 2
+        + [(2, "bg")] * 3 + [(2, "aaa")] * 2
+        + [(3, "bg")] * 3 + [(3, "zzz")] * 4
+        + [(4, "bg")] * 3
+    )
+    terms = spark.createDataFrame(occurrences, ["doc_id", "term"])
+    out = ST.cluster_topic_terms(assign, terms, min_count=2, k=5).collect()
+    got = {(r["cell"], r["gram"]): (r["n"], r["ratio"], r["rank"]) for r in out}
+
+    cnt = {}
+    for d, t in occurrences:
+        c = 0 if d <= 2 else 1
+        cnt[(c, t)] = cnt.get((c, t), 0) + 1
+    grand = float(len(occurrences))
+    ctot = {c: sum(n for (cc, _), n in cnt.items() if cc == c) for c in (0, 1)}
+    ttot = {}
+    for (_, t), n in cnt.items():
+        ttot[t] = ttot.get(t, 0) + n
+    want = {
+        (c, t): (n * grand) / (float(ctot[c]) * float(ttot[t]))
+        for (c, t), n in cnt.items()
+        if n >= 2
+    }
+    assert set(got) == set(want)
+    for key, ratio in want.items():
+        assert got[key][1] == pytest.approx(ratio, abs=1e-12), key
+    # the cluster-exclusive term outranks the shared background term
+    assert got[(1, "zzz")][2] < got[(1, "bg")][2]
+    assert got[(0, "aaa")][2] < got[(0, "bg")][2]
+    # n_docs reflects assignment sizes
+    assert all(r["n_docs"] == 2 for r in out)
+
+
+def test_cluster_topics_registry_shape(spark):
+    rows = dq.q_cluster_topics(spark, SF).collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert len(by_cell) == 16  # every IVF cell labeled at min_count=2
+    for cell, rs in by_cell.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)) and len(rs) <= 5
+        assert all(r["n"] >= 2 for r in rs)
+    assert sum(r["n_docs"] for r in rows if r["rank"] == 1) == 500
+
+
 def test_quantiles_registry_monotone(spark):
     rows = sorted(
         dq.q_doc_len_quantiles(spark, SF).collect(), key=lambda r: r["q"]
