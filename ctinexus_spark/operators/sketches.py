@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "hash32",
+    "hll_register_rows",
     "hll_distinct",
     "cms_sketch",
     "cms_heavy_hitters",
@@ -44,6 +45,32 @@ def hash32(col: Column, salt: int | None = None) -> Column:
 
 
 # --- HyperLogLog --------------------------------------------------------
+
+
+def hll_register_rows(
+    values: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """(group, bucket, rho): the per-occurrence register observations
+    an HLL is built from — bucket = top p hash bits, rho = leading-
+    zero rank of the low (32-p) bits. Shared kernel of the batch
+    aggregate (hll_distinct) and the streaming stateful sketch
+    (streaming.ingest.stream_hll_distinct), so both produce identical
+    registers by construction."""
+    rest = 32 - p
+    h = hash32(F.col(value_col))
+    bucket = F.shiftright(h, rest)
+    w = h.bitwiseAND(F.lit((1 << rest) - 1))
+    rho = F.when(w == 0, F.lit(rest + 1)).otherwise(
+        F.lit(rest + 1) - F.length(F.bin(w))
+    )
+    return values.select(
+        F.col(group_col).alias("group"),
+        bucket.alias("bucket"),
+        rho.alias("rho"),
+    )
 
 
 def hll_distinct(
@@ -67,16 +94,9 @@ def hll_distinct(
     rows). The value column itself never shuffles.
     """
     m = 1 << p
-    rest = 32 - p
-    h = hash32(F.col(value_col))
-    bucket = F.shiftright(h, rest)
-    w = h.bitwiseAND(F.lit((1 << rest) - 1))
-    # leading-zero rank within `rest` bits: rest+1 - bitlength(w)
-    rho = F.when(w == 0, F.lit(rest + 1)).otherwise(
-        F.lit(rest + 1) - F.length(F.bin(w))
-    )
     regs = (
-        values.select(F.col(group_col), bucket.alias("bucket"), rho.alias("rho"))
+        hll_register_rows(values, group_col, value_col, p=p)
+        .withColumnRenamed("group", group_col)
         .groupBy(group_col, "bucket")
         .agg(F.max("rho").alias("m_j"))
     )

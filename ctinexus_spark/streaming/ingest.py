@@ -373,3 +373,80 @@ def windowed_event_counts(
             "n",
         )
     )
+
+
+HLL_OUTPUT_SCHEMA = "group string, nonzero_registers long, hll_est double"
+
+
+def stream_hll_distinct(
+    values: DataFrame,
+    group_col: str = "source",
+    value_col: str = "v",
+    p: int = 10,
+) -> DataFrame:
+    """Streaming per-group distinct-count sketch: a cross-batch
+    HyperLogLog via applyInPandasWithState, keyed by group, state =
+    the 2^p register array (4 KB/group at p=10 — O(1) regardless of
+    stream volume, the whole point vs a streaming count(DISTINCT)
+    whose state grows with the value universe).
+
+    Emits (group, nonzero_registers, hll_est) every micro-batch the
+    group receives data ("update" output); the estimate is monotone
+    non-decreasing across batches (registers only ever max-merge).
+
+    Bit-equality contract with the batch sketch: register
+    observations come from the SAME Spark-side projection
+    (sketches.hll_register_rows) and the estimator repeats
+    hll_distinct's arithmetic — the register sum is exact powers of
+    two (order-free), the rest a fixed-order IEEE chain — so after
+    the final batch the stream's row per group equals
+    hll_distinct(union of batches) EXACTLY (pinned by
+    test_streaming)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ctinexus_spark.operators.sketches import hll_register_rows
+
+    m = 1 << p
+    prepped = hll_register_rows(values, group_col, value_col, p=p)
+
+    def upd(key, pdfs, state):
+        regs = (
+            np.array(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(m, dtype=np.int64)
+        )
+        for pdf in pdfs:
+            # map-side combine within the state task: one max per
+            # observed bucket, then a vectorized register merge
+            gb = pdf.groupby("bucket")["rho"].max()
+            np.maximum.at(regs, gb.index.to_numpy(), gb.to_numpy())
+        state.update((regs.tolist(),))
+        nz = int((regs > 0).sum())
+        # identical arithmetic to hll_distinct's SQL expressions:
+        # exact power-of-two sum, then the fixed-order alpha chain
+        s = float(np.sum(1.0 / np.exp2(regs[regs > 0].astype(np.float64))))
+        alpha = 0.7213 / (1.0 + 1.079 / float(m))
+        est = (alpha * float(m * m)) / (s + float(m - nz))
+        return iter(
+            [
+                pd.DataFrame(
+                    [
+                        {
+                            "group": key[0],
+                            "nonzero_registers": nz,
+                            "hll_est": est,
+                        }
+                    ]
+                )
+            ]
+        )
+
+    return prepped.groupBy("group").applyInPandasWithState(
+        upd,
+        HLL_OUTPUT_SCHEMA,
+        "regs array<long>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -449,3 +449,68 @@ def test_session_window_merges_exact_gap_boundary(spark):
     r = got[0]
     assert (str(r.session_start), str(r.session_end), r.n_events) == (
         "2026-01-01 10:00:00", "2026-01-01 11:00:00", 2)
+
+
+def test_stream_hll_matches_batch_sketch_exactly(spark, tmp_path):
+    """Cross-batch streaming HLL == batch hll_distinct over the union
+    of batches, BIT-EXACTLY: registers come from the same Spark-side
+    projection and the estimator repeats the same IEEE chain. Also
+    checks the estimate is monotone non-decreasing across batches
+    (registers only max-merge)."""
+    import time
+
+    from ctinexus_spark.operators.sketches import hll_distinct
+    from ctinexus_spark.streaming.ingest import stream_hll_distinct
+
+    src = str(tmp_path / "vals")
+    schema = "source string, v string"
+    b1 = [("s1", f"val-{i}") for i in range(400)] + [
+        ("s2", f"x-{i}") for i in range(50)
+    ]
+    b2 = [("s1", f"val-{i}") for i in range(200, 600)] + [
+        ("s2", f"x-{i}") for i in range(50)
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_hll_distinct(stream, "source", "v", p=10)
+        .writeStream.format("memory")
+        .queryName("hll_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.sql("SELECT * FROM hll_sink").collect()
+    # one emission per (group, batch-with-data): s1 twice, s2 twice
+    per_group = {}
+    for r in emitted:
+        per_group.setdefault(r["group"], []).append(r)
+    assert set(per_group) == {"s1", "s2"}
+    assert all(len(rows) == 2 for rows in per_group.values())
+
+    # registers only max-merge, so the estimate grows across batches:
+    # the final state's emission is the max (sink row order is not
+    # guaranteed, so select by value, not position)
+    final = {
+        g: max(rows, key=lambda r: (r["nonzero_registers"], r["hll_est"]))
+        for g, rows in per_group.items()
+    }
+    batch = {
+        r["source"]: r
+        for r in hll_distinct(
+            spark.createDataFrame(b1 + b2, schema), "source", "v", p=10
+        ).collect()
+    }
+    for g in ("s1", "s2"):
+        assert final[g]["nonzero_registers"] == batch[g]["nonzero_registers"]
+        assert final[g]["hll_est"] == batch[g]["hll_est"]  # bit-exact
