@@ -73,16 +73,19 @@ def _headline_queries():
 
 def _release_checkpoints(spark) -> None:
     """clearCache() drops persist()ed relations but NOT localCheckpoint
-    blocks — those are freed by the ContextCleaner only after their
-    Python DataFrame wrappers are GC'd. Left alone, iterative queries
-    (graph_pagerank: barrier() every 3 rounds) accumulate ~65 MB of
-    storage per bench rep (measured 3→9 cached RDDs over 6 reps, with
-    the round-4 warm-median anomaly as the symptom). Collect Python
-    garbage, then nudge the JVM so the cleaner's weak refs fire before
-    the next measurement."""
+    blocks — and (round-5 measurement) those are pinned by the JVM for
+    the session's lifetime: Python GC + System.gc + explicit py4j
+    detach all leave them in storage, so repeated barriered queries
+    grow executor storage monotonically until shuffles spill
+    (dedup_clusters_cc warm median 31 s vs cold 4.7 s in the r5
+    pre-fix run). Between bench measurements no prior DataFrame is
+    ever re-executed, so the JVM-side sweep is safe here."""
     import gc
 
+    from ctinexus_spark.partitioning import release_checkpoint_blocks
+
     gc.collect()
+    release_checkpoint_blocks(spark)
     try:
         spark.sparkContext._jvm.System.gc()
     except Exception:

@@ -109,3 +109,34 @@ def barrier(df: DataFrame) -> DataFrame:
     if has_dir:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def release_checkpoint_blocks(spark, blocking: bool = False) -> int:
+    """Unpersist every JVM-side persistent RDD; returns how many.
+
+    localCheckpoint blocks are pinned by the JVM for the LIFETIME of
+    the session: measured on this stack (Spark 4.1 / py4j ClientServer),
+    neither spark.catalog.clearCache(), nor dropping every Python
+    wrapper + gc.collect(), nor an explicit py4j detach + System.gc
+    releases them — barriered iterative queries therefore grow
+    executor storage monotonically across repeated runs in one
+    session, squeezing the unified memory pool until shuffles spill
+    (bench round 5: dedup_clusters_cc warm median 31 s vs cold 4.7 s).
+
+    SAFETY CONTRACT: call ONLY at a point where no previously built
+    DataFrame will be re-executed — a barriered frame has truncated
+    lineage, so unpersisting it makes any later action on it fail
+    instead of recompute. Bench harnesses between measurements and
+    batch jobs at stage boundaries satisfy this; a live interactive
+    session generally does not.
+    """
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    except Exception:  # Spark Connect: no JVM handle — nothing we can do
+        return 0
+    n = 0
+    it = jmap.entrySet().iterator()
+    while it.hasNext():
+        it.next().getValue().unpersist(blocking)
+        n += 1
+    return n

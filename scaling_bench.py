@@ -36,6 +36,7 @@ def run_one(cores: int, reps: int) -> None:
     from ctinexus_spark.model import StubModel
     from ctinexus_spark.operators.fused import fused_kg
     from ctinexus_spark.operators.normalize import normalize_documents
+    from ctinexus_spark.partitioning import release_checkpoint_blocks
     from ctinexus_spark.session import build_session
 
     spark = build_session(master=f"local[{cores}]", shuffle_partitions=cores,
@@ -46,6 +47,7 @@ def run_one(cores: int, reps: int) -> None:
     # untimed warmup: spawn/import python workers on every core
     warm = raw.limit(500)
     fused_kg(normalize_documents(warm, lang_filter=None), StubModel(eq.CONFIG), eq.CONFIG).count()
+    release_checkpoint_blocks(spark)  # JVM pins barrier blocks forever
 
     rep = spark.range(reps).select(F.col("id").cast("string").alias("rep"))
     # repartition BEFORE the replicating crossJoin: the sf0.1 scan is a
@@ -77,6 +79,7 @@ def run_one_dedup(cores: int, reps: int) -> None:
     from pyspark.sql import functions as F
 
     from ctinexus_spark.operators.dedup import dedup_keep_list, lsh_bands
+    from ctinexus_spark.partitioning import release_checkpoint_blocks
     from ctinexus_spark.session import build_session
 
     spark = build_session(master=f"local[{cores}]", shuffle_partitions=cores,
@@ -86,6 +89,7 @@ def run_one_dedup(cores: int, reps: int) -> None:
 
     # untimed warmup (python-worker spawn/import)
     dedup_keep_list(raw.limit(300)).count()
+    release_checkpoint_blocks(spark)  # JVM pins barrier blocks forever
 
     rep = spark.range(reps).select(F.col("id").alias("rep"))
     # repartition BEFORE replicating: the sf0.1 scan is one split
@@ -103,6 +107,7 @@ def run_one_dedup(cores: int, reps: int) -> None:
     t0 = time.perf_counter()
     lsh_bands(big).count()
     bands_wall = time.perf_counter() - t0
+    release_checkpoint_blocks(spark)  # clean storage for the e2e run
 
     t0 = time.perf_counter()
     kept = dedup_keep_list(big).count()
@@ -126,7 +131,7 @@ def run_one_ccfloor(cores: int, reps: int) -> None:
 
     from ctinexus_spark.graph.components import connected_components
     from ctinexus_spark.operators.dedup import dedup_keep_list, lsh_star_edges
-    from ctinexus_spark.partitioning import barrier
+    from ctinexus_spark.partitioning import barrier, release_checkpoint_blocks
     from ctinexus_spark.session import build_session
 
     spark = build_session(master=f"local[{cores}]", shuffle_partitions=cores,
@@ -134,6 +139,7 @@ def run_one_ccfloor(cores: int, reps: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     raw = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     dedup_keep_list(raw.limit(300)).count()  # warmup
+    release_checkpoint_blocks(spark)  # BEFORE the live edges barrier
     rep = spark.range(reps).select(F.col("id").alias("rep"))
     big = raw.repartition(cores * 2).crossJoin(rep).select(
         (F.col("doc_id") * reps + F.col("rep")).alias("doc_id"),
