@@ -234,12 +234,17 @@ def bloom_probe(
     each exploded (value, pos) row joins the distinct position table
     at most once, so count(*) == hashes is exactly set containment
     (duplicate positions within one value's hash list don't break
-    this — the duplicate either matches twice or misses twice).
+    this — the duplicate either matches twice or misses twice). The
+    probe side is distinct-ed first: a value occurring twice would
+    otherwise double its hit count past `hashes` and be silently
+    dropped.
     """
     deny_d = deny.select(F.col(value_col)).distinct()
     deny_pos = bloom_positions(deny_d, value_col, bits=bits, hashes=hashes)
     pos = F.array(*[hash32(F.col(value_col), salt=i) % bits for i in range(hashes)])
-    probe_pos = probe.select(F.col(value_col), F.explode(pos).alias("pos"))
+    probe_pos = probe.select(F.col(value_col)).distinct().select(
+        F.col(value_col), F.explode(pos).alias("pos")
+    )
     flagged = (
         probe_pos.join(F.broadcast(deny_pos), "pos")
         .groupBy(value_col)

@@ -112,3 +112,15 @@ def test_sketch_sizes_are_bounded(spark):
         K.hll_distinct(big, "g", "v", p=6).collect()[0]["nonzero_registers"] <= 64
     )
     assert K.bloom_positions(big, "v", bits=128, hashes=3).count() <= 128
+
+
+def test_bloom_probe_nondistinct_probe_side(spark):
+    """A probe value occurring N times must still be flagged exactly
+    once — the pre-distinct guards the count(*) == hashes containment
+    test from multiplicity inflation."""
+    deny = _values(spark, 30)
+    probe = deny.union(deny).union(deny)  # every value three times
+    out = K.bloom_probe(probe, deny, "v", bits=4096, hashes=3).collect()
+    members = {r["v"] for r in out if r["is_member"]}
+    assert members == {f"value-{i}" for i in range(30)}
+    assert len(out) == len({r["v"] for r in out})  # one row per value
