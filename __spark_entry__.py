@@ -59,6 +59,9 @@ CHANGED_THIS_ROUND = [
     "doc_len_quantiles",
     "part_communities",
     "cluster_topics",
+    "part_reach",
+    "part_clustering",
+    "mmr_topk",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

@@ -204,6 +204,20 @@ def q_lsh_topk(spark, sf_dir):
     return S.lsh_topk(_emb(spark, sf_dir))
 
 
+def q_mmr_topk(spark, sf_dir):
+    """Maximal-marginal-relevance diversified top-5 (λ=0.7) over the
+    20 highest-cosine candidates for 8 query vectors — the de-dup
+    re-rank for retrieved context. Greedy loop = 4 unrolled DataFrame
+    rounds (join vs the selected set + struct-min argmax); the SQL
+    twin unrolls the identical recurrence, float constants embedded
+    from Python ({v!r}::DOUBLE, BM25 precedent), scores a fixed IEEE
+    chain over left-fold cosines — hash-exact."""
+    emb = _emb(spark, sf_dir)
+    return S.mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, lam=0.7, candidates=20
+    )
+
+
 def q_knn_vote(spark, sf_dir):
     # neighbors from the LSH-bucketed top-k (default) — no all-pairs
     return S.knn_label_vote(_emb(spark, sf_dir))
@@ -606,6 +620,39 @@ def q_part_kcore(spark, sf_dir):
         .distinct()
     )
     return k_core(edges, k=80)
+
+
+def q_part_reach(spark, sf_dir):
+    """4-hop reachability from two seed suppliers over the undirected
+    supplier↔part shipment graph — the k-hop neighborhood / blast-
+    radius query a KG user runs around an entity. Fixed hop budget ⇒
+    zero convergence actions; frontier BFS (graph/analytics.py), one
+    equi-join + distinct + anti-join per hop. Oracle: WITH RECURSIVE
+    walk with UNION (distinct) working-table semantics + min(dist) —
+    integer/string-only output, hash-exact."""
+    from ctinexus_spark.graph.analytics import bfs_distances
+
+    return bfs_distances(_shipment_edges(spark, sf_dir), seeds=["s1", "s7"], hops=4)
+
+
+def q_part_clustering(spark, sf_dir):
+    """Local clustering coefficient over the part co-occurrence graph
+    (parts sharing an order) — transitivity separates organic dense
+    clusters from hub-spoke stars. 2·T/(d·(d−1)) as a single IEEE
+    division of exact integer-valued doubles (token_pmi fixed-chain
+    pattern) so the float column hash-matches the DuckDB twin."""
+    from ctinexus_spark.graph.analytics import clustering_coefficient
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return clustering_coefficient(edges)
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -1806,6 +1853,71 @@ SELECT event_type,
        CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
 """,
+    # UNION (not UNION ALL) in the recursive term gives distinct
+    # working-table semantics: the walk table stays bounded by
+    # |V|·hops pairs instead of multiplying along paths; min(dist)
+    # collapses a vertex reached at several depths.
+    "part_reach": """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 's' || l_suppkey AS a, 'p' || l_partkey AS b FROM lineitem
+),
+und AS (
+  SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+),
+walk(v, dist) AS (
+  SELECT * FROM (VALUES ('s1', 0), ('s7', 0)) t(v, dist)
+  UNION
+  SELECT u.b, w.dist + 1 FROM walk w JOIN und u ON u.a = w.v WHERE w.dist < 4
+)
+SELECT v AS vertex, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY v
+""",
+    # part_triangles' orientation chain + degrees, extended with the
+    # coefficient: one IEEE division of exact integer-valued doubles
+    # matches Spark bit-for-bit (token_pmi fixed-chain precedent).
+    "part_clustering": """
+WITH e AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT x, count(*) AS d FROM (
+    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e
+  ) GROUP BY x
+),
+w AS (
+  SELECT e.u, e.v, du.d AS du, dv.d AS dv
+  FROM e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x
+),
+o AS (
+  SELECT u AS s, v AS t, dv AS dt FROM w WHERE (du < dv) OR (du = dv AND u < v)
+  UNION ALL
+  SELECT v AS s, u AS t, du AS dt FROM w WHERE NOT ((du < dv) OR (du = dv AND u < v))
+),
+paths AS (
+  SELECT p1.s, p1.t AS t1, p1.dt AS d1, p2.t AS t2, p2.dt AS d2
+  FROM o p1 JOIN o p2 ON p1.s = p2.s
+  WHERE (p1.dt < p2.dt) OR (p1.dt = p2.dt AND p1.t < p2.t)
+),
+tri AS (
+  SELECT p.s, p.t1, p.t2 FROM paths p JOIN o ON o.s = p.t1 AND o.t = p.t2
+),
+tc AS (
+  SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT s AS vertex FROM tri
+    UNION ALL SELECT t1 AS vertex FROM tri
+    UNION ALL SELECT t2 AS vertex FROM tri
+  ) GROUP BY vertex
+)
+SELECT d.x AS vertex,
+       CAST(d.d AS BIGINT) AS degree,
+       CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(2 * coalesce(t.n_triangles, 0) AS DOUBLE)
+         / CAST(d.d * (d.d - 1) AS DOUBLE) AS clustering
+FROM deg d LEFT JOIN tc t ON t.vertex = d.x
+WHERE d.d >= 2
+""",
 }
 
 QUERIES = {
@@ -1854,6 +1966,8 @@ QUERIES = {
     "revenue_rollup": q_revenue_rollup,
     "event_leadlag": q_event_leadlag,
     "part_triangles": q_part_triangles,
+    "part_reach": q_part_reach,
+    "part_clustering": q_part_clustering,
     "stratified_sample": q_stratified_sample,
     "mixture_plan": q_mixture_plan,
     "decontaminate": q_decontaminate,
@@ -2113,6 +2227,94 @@ WHERE NOT EXISTS (SELECT 1 FROM final_deg WHERE degree < {k})
 
 ORACLES["part_pagerank"] = _pagerank_sql(iterations=5, damping=0.85)
 ORACLES["part_kcore"] = _kcore_sql(k=80)
+
+
+def _mmr_sql(k: int = 5, lam: float = 0.7, candidates: int = 20, nq: int = 8) -> str:
+    """Unrolled-round DuckDB twin of similarity.mmr_rerank: greedy
+    MMR as k CTE rounds — per round, max-sim against the union of
+    prior selections, score = λ·rel − (1−λ)·maxsim with BOTH float
+    constants computed in Python and embedded ({v!r}::DOUBLE — the
+    BM25 precedent), argmax = min(struct_pack(ns := −score, cid)) and
+    the winning score recovered as −ns (negation is sign-bit-exact).
+    Cosines are list_cosine_similarity(::DOUBLE[]) — bit-identical to
+    the Spark left-fold."""
+    lam_f = float(lam)
+    om = 1.0 - lam_f
+
+    def prev_union(r: int) -> str:
+        return " UNION ALL ".join(
+            f"SELECT query_id, cid FROM s{i}" for i in range(1, r)
+        )
+
+    parts = [
+        f"""q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {nq}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cid,
+         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS rel
+  FROM q JOIN embeddings c ON c.vec_id != q.query_id
+),
+cand AS (
+  SELECT query_id, cid, rel FROM (
+    SELECT query_id, cid, rel,
+           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS rk
+    FROM scored
+  ) WHERE rk <= {candidates}
+),
+pairs AS (
+  SELECT x.query_id, x.cid AS a, y.cid AS b,
+         list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS sim
+  FROM cand x JOIN cand y ON x.query_id = y.query_id AND x.cid != y.cid
+  JOIN embeddings ea ON ea.vec_id = x.cid
+  JOIN embeddings eb ON eb.vec_id = y.cid
+),
+s1 AS (
+  SELECT query_id, (w).cid AS cid, 1 AS pick_rank, -((w).ns) AS mmr_score FROM (
+    SELECT query_id,
+           min(struct_pack(
+             ns := -({lam_f!r}::DOUBLE * rel - {om!r}::DOUBLE * 0.0::DOUBLE),
+             cid := cid)) AS w
+    FROM cand GROUP BY query_id
+  )
+)"""
+    ]
+    for r in range(2, k + 1):
+        prev = prev_union(r)
+        parts.append(
+            f"""ms{r} AS (
+  SELECT p.query_id, p.a AS cid, max(p.sim) AS maxsim
+  FROM pairs p JOIN ({prev}) s ON s.query_id = p.query_id AND s.cid = p.b
+  GROUP BY p.query_id, p.a
+),
+rem{r} AS (
+  SELECT c.query_id, c.cid, c.rel FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM ({prev}) s
+                    WHERE s.query_id = c.query_id AND s.cid = c.cid)
+),
+s{r} AS (
+  SELECT query_id, (w).cid AS cid, {r} AS pick_rank, -((w).ns) AS mmr_score FROM (
+    SELECT t.query_id,
+           min(struct_pack(
+             ns := -({lam_f!r}::DOUBLE * t.rel
+                     - {om!r}::DOUBLE * coalesce(m.maxsim, 0.0::DOUBLE)),
+             cid := t.cid)) AS w
+    FROM rem{r} t LEFT JOIN ms{r} m ON m.query_id = t.query_id AND m.cid = t.cid
+    GROUP BY t.query_id
+  )
+)"""
+        )
+    final = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, cid AS neighbor_id, CAST(pick_rank AS INT) AS pick_rank, mmr_score
+FROM ({final})
+"""
+    )
+
+
+ORACLES["mmr_topk"] = _mmr_sql(k=5, lam=0.7, candidates=20, nq=8)
+QUERIES["mmr_topk"] = q_mmr_topk
 
 
 # --- distributed sketches (round 5) -------------------------------------

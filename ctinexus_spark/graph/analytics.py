@@ -371,3 +371,114 @@ def label_propagation(
         if (r + 1) % CHECKPOINT_EVERY == 0 and r + 1 < rounds:
             labels = barrier(labels)  # bound linear lineage on long runs
     return labels.select(F.col("v").alias("vertex"), "label")
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: list,
+    hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(vertex, dist): minimum hop count from any seed over the
+    undirected graph, bounded by `hops` — the k-hop neighborhood /
+    reachability primitive (reference users ask "everything within N
+    hops of this entity"; same shape as blast-radius queries on a KG).
+    Seeds always appear with dist 0, connected or not.
+
+    Frontier-expansion BFS with a FIXED hop budget (the hop bound is
+    part of the semantics, like label_propagation's round count).
+    Per round: one equi-join of the current frontier against the
+    doubled edge table (shuffle keyed on vertex id), a distinct, and
+    one anti-join against the visited set — all partial-aggregated
+    equi-joins, no driver-side vertex state, so the round cost is
+    O(frontier-adjacent edges / cluster) at any graph size. The edge
+    table is barriered ONCE before the loop (the iterative-op rule:
+    lazy re-derivation re-scans the source every round); each round's
+    frontier is barriered so round r+1 reads a materialized frontier
+    instead of recursing through r rounds of lineage.
+
+    Integer/string-only output — deterministic; the DuckDB twin is a
+    WITH RECURSIVE walk with UNION (distinct) semantics + min(dist).
+    """
+    from pyspark.sql import types as T
+
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = barrier(
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    )
+    vertex_type = und.schema["a"].dataType
+    seed_df = spark.createDataFrame(
+        [(s,) for s in seeds],
+        T.StructType([T.StructField("vertex", vertex_type, False)]),
+    ).distinct()
+    visited = barrier(seed_df.withColumn("dist", F.lit(0).cast("int")))
+    frontier = visited.select("vertex")
+    for h in range(1, hops + 1):
+        nxt = barrier(
+            frontier.withColumnRenamed("vertex", "a")
+            .join(und, "a")
+            .select(F.col("b").alias("vertex"))
+            .distinct()
+            .join(visited.select("vertex"), "vertex", "left_anti")
+            .withColumn("dist", F.lit(h).cast("int"))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("vertex")
+    return visited
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(vertex, degree, n_triangles, clustering) for every vertex with
+    degree ≥ 2: clustering = 2·T(v) / (d(v)·(d(v)−1)) — the local
+    transitivity score that separates organic communities (high) from
+    spam link farms / hub pages (near zero) on web graphs.
+
+    Triangles come from the degree-ordered-orientation counter above
+    (arboricity-bounded, hot stars contribute zero 2-paths); degrees
+    are one partial-aggregated groupBy. The canonical undirected edge
+    set is barriered once and feeds both (triangle_counts would
+    otherwise re-derive its own distinct — one extra shuffle, and two
+    scans of the raw edge source).
+
+    Bit-exact across engines: 2·T and d·(d−1) are exact integer-valued
+    operands; `clustering` is a single IEEE division of their double
+    casts (the token_pmi fixed-chain pattern), so the float column
+    hash-matches DuckDB's CAST(... AS DOUBLE)/CAST(... AS DOUBLE).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = barrier(
+        e.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")).distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionByName(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    tri = triangle_counts(und, src="u", dst="v")
+    return (
+        deg.filter(F.col("d") >= 2)
+        .select(F.col("x").alias("vertex"), F.col("d").alias("degree"))
+        .join(tri, "vertex", "left")
+        .select(
+            "vertex",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0).cast("bigint")).alias(
+                "n_triangles"
+            ),
+            (
+                (
+                    F.coalesce(F.col("n_triangles"), F.lit(0).cast("bigint")) * 2
+                ).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+            ).alias("clustering"),
+        )
+    )

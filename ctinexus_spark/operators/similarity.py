@@ -482,3 +482,116 @@ def knn_label_vote(
         .filter("rk = 1")
         .select("query_id", F.col("n_label").alias("predicted_label"))
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    candidates: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k: greedily pick k
+    of the `candidates` highest-cosine neighbors per query, each pick
+    maximizing lam·rel(c) − (1−lam)·max_{s∈picked} sim(c, s) — the
+    standard de-duplicating re-rank for retrieved context (near-copies
+    of an already-picked document score near zero marginal value).
+
+    Scale shape: the candidate ids are found WITHOUT shipping
+    vectors through the rank shuffle (score map-side against the
+    broadcast query set, window over (query_id, id, rel) only); the
+    N·|q| winners then re-join the corpus to fetch vectors, and the
+    N²·|q| candidate-pair cosines are one self-join keyed on query_id
+    with N bounded (default 20 ⇒ ≤380 pairs/query). The greedy loop is
+    k−1 UNROLLED DataFrame rounds (k is part of the semantics): per
+    round one join of the pair table against the tiny selected set, a
+    max partial-agg, an anti-join, and a struct-min argmax — no driver
+    state; pairs and per-round selections are barriered (the
+    iterative-op rule).
+
+    Determinism: rel/sim are the fixed left-fold cosine (bit-identical
+    to DuckDB list_cosine_similarity); scores are the fixed IEEE chain
+    lam·rel − (1−lam)·maxsim with BOTH float constants computed in
+    Python and embedded (BM25 precedent); argmax = min(struct(−score,
+    id)) — so (query_id, pick_rank, neighbor_id, mmr_score) hash-match
+    the unrolled SQL twin exactly.
+    """
+    from ctinexus_spark.partitioning import barrier
+
+    lam_f = float(lam)
+    one_minus = 1.0 - lam_f  # embedded, never recomputed engine-side
+
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    c = embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+    scored = q.join(c, F.col("query_id") != F.col("cid")).select(
+        "query_id", "cid", cosine_expr("q_vec", "c_vec").alias("rel")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cid"))
+    cand_ids = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= candidates)
+        .select("query_id", "cid", "rel")
+    )
+    cand = barrier(cand_ids)
+    withv = cand.join(
+        embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec")),
+        "cid",
+    )
+    a = withv.select("query_id", F.col("cid").alias("a"), F.col("c_vec").alias("a_vec"))
+    b = withv.select("query_id", F.col("cid").alias("b"), F.col("c_vec").alias("b_vec"))
+    pairs = barrier(
+        a.join(b, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select("query_id", "a", "b", cosine_expr("a_vec", "b_vec").alias("sim"))
+    )
+
+    def pick(frame: DataFrame, rank: int) -> DataFrame:
+        """argmax score per query from (query_id, cid, score): one
+        struct-min partial agg; the winning score rides along as −ns
+        (IEEE negation round-trips bit-exact, sign bit only)."""
+        return (
+            frame.groupBy("query_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("score")).alias("ns"),
+                        F.col("cid").alias("cid"),
+                    )
+                ).alias("w")
+            )
+            .select(
+                "query_id",
+                F.col("w.cid").alias("cid"),
+                F.lit(rank).cast("int").alias("pick_rank"),
+                (-F.col("w.ns")).alias("mmr_score"),
+            )
+        )
+
+    r1 = cand.withColumn(
+        "score",
+        F.lit(lam_f) * F.col("rel") - F.lit(one_minus) * F.lit(0.0),
+    )
+    selected = barrier(pick(r1, 1))
+    for r in range(2, k + 1):
+        prev = selected.select("query_id", F.col("cid").alias("b"))
+        ms = (
+            pairs.join(prev, ["query_id", "b"])
+            .groupBy("query_id", F.col("a").alias("cid"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        remaining = cand.join(
+            selected.select("query_id", "cid"), ["query_id", "cid"], "left_anti"
+        )
+        scored_r = remaining.join(ms, ["query_id", "cid"], "left").withColumn(
+            "score",
+            F.lit(lam_f) * F.col("rel")
+            - F.lit(one_minus) * F.coalesce(F.col("maxsim"), F.lit(0.0)),
+        )
+        selected = barrier(selected.unionByName(pick(scored_r, r)))
+    return selected.select(
+        "query_id", F.col("cid").alias("neighbor_id"), "pick_rank", "mmr_score"
+    )

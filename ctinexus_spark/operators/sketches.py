@@ -28,9 +28,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "hash32",
+    "py_hash32",
     "hll_register_rows",
     "hll_distinct",
     "cms_sketch",
+    "cms_bucket_rows",
     "cms_heavy_hitters",
     "bloom_positions",
     "bloom_probe",
@@ -42,6 +44,17 @@ def hash32(col: Column, salt: int | None = None) -> Column:
     hex chars (salted with '{salt}|' prefix). Portable to DuckDB."""
     x = F.concat(F.lit(f"{salt}|"), col) if salt is not None else col
     return F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+
+
+def py_hash32(value: str, salt: int | None = None) -> int:
+    """Python twin of hash32 — byte-identical on strings (md5 of the
+    utf-8 bytes, same '{salt}|' prefix). Used where a driver-side
+    constant needs the same hash as the Spark column (e.g. probe
+    positions for the streaming Count-Min monitor)."""
+    import hashlib
+
+    x = f"{salt}|{value}" if salt is not None else value
+    return int(hashlib.md5(x.encode("utf-8")).hexdigest()[:8], 16)
 
 
 # --- HyperLogLog --------------------------------------------------------
@@ -145,6 +158,32 @@ def cms_sketch(
         .groupBy(F.col("h.row").alias("row"), F.col("h.bucket").alias("bucket"))
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
+
+
+def cms_bucket_rows(
+    values: DataFrame,
+    group_col: str,
+    value_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """(group, row, bucket): the per-occurrence counter observations a
+    grouped Count-Min is built from — shared kernel of the streaming
+    stateful sketch (streaming.ingest.stream_cms_probes), mirroring
+    hll_register_rows so stream and batch count identical buckets by
+    construction."""
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (hash32(F.col(value_col), salt=i) % width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return values.select(
+        F.col(group_col).alias("group"), F.explode(hashes).alias("h")
+    ).select("group", F.col("h.row").alias("row"), F.col("h.bucket").alias("bucket"))
 
 
 def cms_heavy_hitters(

@@ -450,3 +450,86 @@ def stream_hll_distinct(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+CMS_OUTPUT_SCHEMA = "group string, value string, cms_est long"
+
+
+def stream_cms_probes(
+    values: DataFrame,
+    probes: list[str],
+    group_col: str = "source",
+    value_col: str = "v",
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Streaming per-group frequency monitor: a cross-batch Count-Min
+    sketch via applyInPandasWithState, keyed by group, state = the
+    flattened depth×width counter array (64 KB/group at the batch
+    defaults — O(1) regardless of stream volume). Every micro-batch
+    the group receives data, it emits one row per monitored probe
+    value: (group, value, cms_est) — the running over-estimate of that
+    value's occurrence count so far ("which of these watched terms /
+    fingerprints is getting hot on this feed").
+
+    Bit-equality contract with the batch sketch: bucket observations
+    come from the SAME Spark-side projection (sketches.cms_bucket_rows)
+    and counters are additive integers, so after the final batch
+    cms_est equals min-over-rows of the batch cms_sketch(union of
+    batches) counters EXACTLY — probe positions are computed driver-
+    side with py_hash32, the byte-identical Python twin of the column
+    hash (pinned by test_streaming).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ctinexus_spark.operators.sketches import cms_bucket_rows, py_hash32
+
+    flat = depth * width
+    # (probe value, [flat positions row*width+bucket]) — constants,
+    # captured by the closure; tiny (len(probes)*depth ints)
+    probe_pos = [
+        (v, [i * width + (py_hash32(v, salt=i) % width) for i in range(depth)])
+        for v in sorted(set(probes))
+    ]
+    prepped = cms_bucket_rows(values, group_col, value_col, depth=depth, width=width)
+
+    def upd(key, pdfs, state):
+        cnts = (
+            np.array(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(flat, dtype=np.int64)
+        )
+        for pdf in pdfs:
+            # map-side combine within the state task: one count per
+            # observed (row, bucket), then a vectorized add
+            gb = pdf.groupby(["row", "bucket"]).size()
+            idx = (
+                gb.index.get_level_values("row").to_numpy() * width
+                + gb.index.get_level_values("bucket").to_numpy()
+            )
+            np.add.at(cnts, idx, gb.to_numpy())
+        state.update((cnts.tolist(),))
+        return iter(
+            [
+                pd.DataFrame(
+                    [
+                        {
+                            "group": key[0],
+                            "value": v,
+                            "cms_est": int(cnts[pos].min()),
+                        }
+                        for v, pos in probe_pos
+                    ]
+                )
+            ]
+        )
+
+    return prepped.groupBy("group").applyInPandasWithState(
+        upd,
+        CMS_OUTPUT_SCHEMA,
+        "cnts array<long>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

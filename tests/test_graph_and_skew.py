@@ -348,6 +348,49 @@ def test_triangle_counts_known_graph(spark):
     assert triangle_counts(star).count() == 0
 
 
+def test_bfs_distances_path_graph(spark):
+    """Path 1-2-3-4-5-6: hop budget truncates, multi-seed takes the
+    min, and a seed absent from the graph still reports dist 0."""
+    from ctinexus_spark.graph.analytics import bfs_distances
+
+    path = [(i, i + 1) for i in range(1, 6)]
+    edges = spark.createDataFrame(path, "src bigint, dst bigint")
+
+    got = {r.vertex: r.dist for r in bfs_distances(edges, seeds=[1], hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    both = {
+        r.vertex: r.dist for r in bfs_distances(edges, seeds=[1, 6], hops=2).collect()
+    }
+    assert both == {1: 0, 6: 0, 2: 1, 5: 1, 3: 2, 4: 2}
+
+    lone = {
+        r.vertex: r.dist for r in bfs_distances(edges, seeds=[99], hops=2).collect()
+    }
+    assert lone == {99: 0}
+
+
+def test_clustering_coefficient_triangle_with_pendant(spark):
+    """Triangle {1,2,3} + pendant edge 3-4: the degree-2 triangle
+    corners are fully transitive (1.0), the junction vertex is
+    2·1/(3·2)=1/3, the pendant (degree 1) is excluded, and a star hub
+    with zero triangles scores 0.0."""
+    from ctinexus_spark.graph.analytics import clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src bigint, dst bigint"
+    )
+    rows = {r.vertex: r for r in clustering_coefficient(edges).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].clustering == 1.0 and rows[2].clustering == 1.0
+    assert rows[3].degree == 3 and rows[3].n_triangles == 1
+    assert abs(rows[3].clustering - 1.0 / 3.0) < 1e-15
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src bigint, dst bigint")
+    hub = {r.vertex: r for r in clustering_coefficient(star).collect()}
+    assert set(hub) == {0} and hub[0].clustering == 0.0 and hub[0].n_triangles == 0
+
+
 def test_grouped_map_stitched_whole_groups_across_batches(spark):
     """The shared stitched grouped-map must hand `process` only WHOLE
     key-groups even when a group straddles the Arrow batch cap: with

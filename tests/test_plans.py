@@ -56,7 +56,8 @@ QUADRATIC_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
      "lm_scores", "decontaminate", "vocab_topk", "line_dedup", "domain_cap",
      "dsir_features", "bpe_merges", "token_pmi", "dup_grams", "cdc_chunks",
      "langid", "hll_distinct", "cms_topk", "bloom_probe", "bm25_topk",
-     "doc_len_quantiles", "part_communities", "cluster_topics"],
+     "doc_len_quantiles", "part_communities", "cluster_topics",
+     "part_reach", "part_clustering"],
 )
 def test_no_quadratic_plan_in_scale_queries(spark, qname):
     """Every headline dedup/similarity query must plan as equi joins.

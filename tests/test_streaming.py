@@ -3,6 +3,8 @@ exactly-once checkpointing, and watermarked windowed aggregation."""
 
 import os
 
+from pyspark.sql import functions as F
+
 from ctinexus_spark.config import PipelineConfig
 from ctinexus_spark.datagen import synthesize_documents
 from ctinexus_spark.model import StubModel
@@ -514,3 +516,73 @@ def test_stream_hll_matches_batch_sketch_exactly(spark, tmp_path):
     for g in ("s1", "s2"):
         assert final[g]["nonzero_registers"] == batch[g]["nonzero_registers"]
         assert final[g]["hll_est"] == batch[g]["hll_est"]  # bit-exact
+
+
+def test_stream_cms_probes_matches_batch_sketch_exactly(spark, tmp_path):
+    """Cross-batch streaming Count-Min == batch cms_sketch over the
+    union of batches: counters are additive integers and the bucket
+    projection is shared, so the final per-probe estimate equals the
+    batch min-over-rows EXACTLY (incl. an unseen probe at 0 — modulo
+    whatever collision noise the sketch itself carries, identically on
+    both paths)."""
+    import time
+
+    from ctinexus_spark.operators.sketches import cms_sketch, py_hash32
+    from ctinexus_spark.streaming.ingest import stream_cms_probes
+
+    depth, width = 4, 256
+    probes = ["hot", "warm", "never"]
+    src = str(tmp_path / "vals")
+    schema = "source string, v string"
+    b1 = (
+        [("s1", "hot")] * 30
+        + [("s1", "warm")] * 5
+        + [("s1", f"noise-{i}") for i in range(200)]
+        + [("s2", "hot")] * 2
+    )
+    b2 = (
+        [("s1", "hot")] * 20
+        + [("s2", "warm")] * 7
+        + [("s2", f"noise-{i}") for i in range(150)]
+    )
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_cms_probes(stream, probes, "source", "v", depth=depth, width=width)
+        .writeStream.format("memory")
+        .queryName("cms_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.sql("SELECT * FROM cms_sink").collect()
+    per_gv = {}
+    for r in emitted:
+        per_gv.setdefault((r["group"], r["value"]), []).append(r["cms_est"])
+    # every emission carries ALL probes; counters only grow
+    assert set(g for g, _ in per_gv) == {"s1", "s2"}
+    assert all(len(v) == 2 and sorted(v) == v for v in per_gv.values())
+
+    allv = spark.createDataFrame(b1 + b2, schema)
+    for g in ("s1", "s2"):
+        sk = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in cms_sketch(
+                allv.filter(F.col("source") == g), "v", depth=depth, width=width
+            ).collect()
+        }
+        for v in probes:
+            want = min(
+                sk.get((i, py_hash32(v, salt=i) % width), 0) for i in range(depth)
+            )
+            assert max(per_gv[(g, v)]) == want, (g, v)
