@@ -62,6 +62,7 @@ CHANGED_THIS_ROUND = [
     "part_reach",
     "part_clustering",
     "mmr_topk",
+    "source_drift",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

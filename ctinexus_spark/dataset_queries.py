@@ -622,6 +622,25 @@ def q_part_kcore(spark, sf_dir):
     return k_core(edges, k=80)
 
 
+def q_source_drift(spark, sf_dir):
+    """Per-source distribution drift: total-variation distance between
+    each source's token distribution and the corpus distribution — the
+    mixture-QA alarm. Exact-integer numerator (absent-vocabulary terms
+    folded in algebraically, no source×vocab cross join); the single
+    final division is the only float op, so tv_dist is engine
+    bit-exact with no ordered folds (operators/stats.py)."""
+    from ctinexus_spark.operators.stats import distribution_drift
+    from ctinexus_spark.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(_docs(spark, sf_dir))
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return distribution_drift(toks, "source", "token").select(
+        F.col("group").alias("source"), "n_tokens", "tv_dist"
+    )
+
+
 def q_part_reach(spark, sf_dir):
     """4-hop reachability from two seed suppliers over the undirected
     supplier↔part shipment graph — the k-hop neighborhood / blast-
@@ -1853,6 +1872,29 @@ SELECT event_type,
        CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
 """,
+    # exact-integer numerator: every sum is BIGINT (order-free), the
+    # single division is the one float op — bit-exact by construction.
+    # DuckDB sum(BIGINT) returns HUGEINT: CAST each sum back.
+    "source_drift": """
+WITH tok AS (
+  SELECT source AS grp, unnest(str_split(text, ' ')) AS token FROM documents
+),
+cnt AS (
+  SELECT grp, token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY grp, token
+),
+g_tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_g FROM cnt GROUP BY grp),
+t_tot AS (SELECT token, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY token),
+grand AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cnt),
+contrib AS (
+  SELECT cnt.grp, abs(cnt.c * nn - ct * n_g) - ct * n_g AS term
+  FROM cnt JOIN t_tot USING (token) JOIN g_tot USING (grp), grand
+),
+sv AS (SELECT grp, CAST(sum(term) AS BIGINT) AS s FROM contrib GROUP BY grp)
+SELECT sv.grp AS source, g_tot.n_g AS n_tokens,
+       CAST(g_tot.n_g * grand.nn + sv.s AS DOUBLE)
+         / CAST(2 * g_tot.n_g * grand.nn AS DOUBLE) AS tv_dist
+FROM sv JOIN g_tot USING (grp), grand
+""",
     # UNION (not UNION ALL) in the recursive term gives distinct
     # working-table semantics: the walk table stays bounded by
     # |V|·hops pairs instead of multiplying along paths; min(dist)
@@ -1968,6 +2010,7 @@ QUERIES = {
     "part_triangles": q_part_triangles,
     "part_reach": q_part_reach,
     "part_clustering": q_part_clustering,
+    "source_drift": q_source_drift,
     "stratified_sample": q_stratified_sample,
     "mixture_plan": q_mixture_plan,
     "decontaminate": q_decontaminate,

@@ -134,3 +134,73 @@ def cluster_topic_terms(
         .join(sizes, "cell")
         .select("cell", "gram", "n", "n_docs", "ratio", "rank")
     )
+
+
+def distribution_drift(
+    tokens: DataFrame, group_col: str = "group", token_col: str = "token"
+) -> DataFrame:
+    """(group, n_tokens, tv_dist): total-variation distance between
+    each group's token distribution and the whole-corpus distribution
+    — the mixture-QA / drift signal ("which source no longer looks
+    like the corpus") a daily crawl pipeline alarms on.
+
+    TV(P_g, Q) = ½·Σᵢ |c_gᵢ/n_g − Cᵢ/N| needs every vocabulary term
+    per group; materializing the groups×vocab cross product is the
+    naive shape that dies at scale. Rewrite: terms absent from the
+    group contribute Cᵢ·n_g, and Σᵢ Cᵢ·n_g = n_g·N over the full
+    vocabulary, so
+
+        TV = ( n_g·N + Σ_{i∈g} (|c_gᵢ·N − Cᵢ·n_g| − Cᵢ·n_g) ) / (2·n_g·N)
+
+    touches only the terms PRESENT in each group — one partial-agg
+    count table feeding two marginals, one equi-join per marginal, no
+    cross join. The whole numerator is exact BIGINT (order-free sums),
+    and the one float op is the final division — so the double column
+    is engine bit-exact by construction, no ordered folds needed.
+    Bounds: exact while n_g·N < 2⁶³ and the cast operands < 2⁵³;
+    beyond that (≫10 TB of tokens) switch the numerator to
+    DECIMAL(38,0) — the formula is unchanged.
+
+    The corpus total N attaches as a lazy keyless aggregate at two
+    points (contribution terms, final ratio) — the two allowed
+    BroadcastNestedLoopJoins, token_pmi precedent.
+    """
+    from ctinexus_spark.partitioning import barrier
+
+    cnt = barrier(
+        tokens.select(
+            F.col(group_col).alias("group"), F.col(token_col).alias("token")
+        )
+        .groupBy("group", "token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    g_tot = cnt.groupBy("group").agg(F.sum("c").cast("bigint").alias("n_g"))
+    t_tot = cnt.groupBy("token").agg(F.sum("c").cast("bigint").alias("ct"))
+    grand = cnt.agg(F.sum("c").cast("bigint").alias("nn"))
+    contrib = (
+        cnt.join(t_tot, "token")
+        .join(g_tot, "group")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "group",
+            (
+                F.abs(F.col("c") * F.col("nn") - F.col("ct") * F.col("n_g"))
+                - F.col("ct") * F.col("n_g")
+            ).alias("term"),
+        )
+    )
+    s = contrib.groupBy("group").agg(F.sum("term").cast("bigint").alias("s"))
+    return (
+        s.join(g_tot, "group")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "group",
+            F.col("n_g").alias("n_tokens"),
+            (
+                (F.col("n_g") * F.col("nn") + F.col("s")).cast("double")
+                / (F.lit(2).cast("bigint") * F.col("n_g") * F.col("nn")).cast(
+                    "double"
+                )
+            ).alias("tv_dist"),
+        )
+    )

@@ -57,7 +57,7 @@ QUADRATIC_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
      "dsir_features", "bpe_merges", "token_pmi", "dup_grams", "cdc_chunks",
      "langid", "hll_distinct", "cms_topk", "bloom_probe", "bm25_topk",
      "doc_len_quantiles", "part_communities", "cluster_topics",
-     "part_reach", "part_clustering"],
+     "part_reach", "part_clustering", "source_drift"],
 )
 def test_no_quadratic_plan_in_scale_queries(spark, qname):
     """Every headline dedup/similarity query must plan as equi joins.
@@ -79,6 +79,9 @@ def test_no_quadratic_plan_in_scale_queries(spark, qname):
         "bm25_topk": 1,
         "doc_len_quantiles": 1,
         "cluster_topics": 1,
+        # corpus total N attaches at the contribution terms AND the
+        # final ratio — two keyless one-row builds
+        "source_drift": 2,
     }
 
     plan = plan_of(dq.QUERIES[qname](spark, SF))

@@ -289,3 +289,35 @@ def test_mmr_lambda_one_is_plain_topk(spark):
     ).collect()
     order = [r.neighbor_id for r in sorted(out, key=lambda r: r.pick_rank)]
     assert order == [1, 2, 3]
+
+
+# --- distribution drift (total variation) ------------------------------
+
+
+def test_distribution_drift_hand_computed(spark):
+    """A: {x,x,y}, B: {y,z} over corpus {x:2,y:2,z:1} → TV(A)=4/15,
+    TV(B)=2/5 (hand-derived incl. the absent-term mass); checks the
+    algebraic fold of out-of-group vocabulary."""
+    from fractions import Fraction
+
+    from ctinexus_spark.operators.stats import distribution_drift
+
+    toks = spark.createDataFrame(
+        [("A", "x"), ("A", "x"), ("A", "y"), ("B", "y"), ("B", "z")],
+        "group string, token string",
+    )
+    got = {r.group: r for r in distribution_drift(toks).collect()}
+    assert got["A"].n_tokens == 3 and got["B"].n_tokens == 2
+    assert got["A"].tv_dist == float(Fraction(4, 15))
+    assert got["B"].tv_dist == float(Fraction(2, 5))
+
+
+def test_distribution_drift_identical_group_is_zero(spark):
+    """A group that IS the whole corpus has zero distance."""
+    from ctinexus_spark.operators.stats import distribution_drift
+
+    toks = spark.createDataFrame(
+        [("A", t) for t in ["x", "y", "z", "x"]], "group string, token string"
+    )
+    rows = distribution_drift(toks).collect()
+    assert len(rows) == 1 and rows[0].tv_dist == 0.0
