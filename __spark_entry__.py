@@ -63,6 +63,7 @@ CHANGED_THIS_ROUND = [
     "part_clustering",
     "mmr_topk",
     "source_drift",
+    "event_asof_purchase",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

@@ -622,6 +622,47 @@ def q_part_kcore(spark, sf_dir):
     return k_core(edges, k=80)
 
 
+def q_event_asof_purchase(spark, sf_dir):
+    """As-of join: every event tagged with the user's most recent
+    purchase at-or-before its timestamp — the trade/quote primitive
+    over the events stream. Spark side is window-over-union (one
+    key shuffle, no range join, operators/temporal.py); the oracle is
+    DuckDB's NATIVE ASOF LEFT JOIN — an independently implemented
+    as-of algorithm, so the gate cross-checks two unrelated
+    formulations. Right side deduped to one purchase per (user, ts)
+    by max event_id (struct-max, both engines)."""
+    from ctinexus_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct(F.col("event_id"), F.col("value"))).alias("w"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("w.event_id").alias("purchase_event_id"),
+            F.col("w.value").alias("purchase_value"),
+        )
+    )
+    left = ev.select("user_id", "ts", "event_id", "event_type")
+    # no-prior-purchase rows coalesce to (-1, 0.0) sentinels: nullable
+    # BIGINT round-trips as float64 through pandas/duckdb fetch, which
+    # would break the string-hash compare ("101.0" vs "101")
+    return asof_join(
+        left, pur, key="user_id", ts="ts",
+        payload=["purchase_event_id", "purchase_value"],
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce(F.col("purchase_event_id"), F.lit(-1).cast("bigint")).alias(
+            "purchase_event_id"
+        ),
+        F.coalesce(F.col("purchase_value"), F.lit(0.0)).alias("purchase_value"),
+    )
+
+
 def q_source_drift(spark, sf_dir):
     """Per-source distribution drift: total-variation distance between
     each source's token distribution and the corpus distribution — the
@@ -1872,6 +1913,23 @@ SELECT event_type,
        CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
 """,
+    # the oracle uses DuckDB's NATIVE ASOF JOIN — an independent
+    # as-of implementation vs Spark's window-over-union — so this row
+    # cross-checks two unrelated algorithms. Payload carried verbatim
+    # (no arithmetic) ⇒ the double column is trivially bit-exact.
+    "event_asof_purchase": """
+WITH pur AS (
+  SELECT user_id, ts,
+         (max(struct_pack(i := event_id, v := "value"))).i AS purchase_event_id,
+         (max(struct_pack(i := event_id, v := "value"))).v AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       CAST(coalesce(p.purchase_event_id, -1) AS BIGINT) AS purchase_event_id,
+       coalesce(p.purchase_value, 0.0::DOUBLE) AS purchase_value
+FROM events e ASOF LEFT JOIN pur p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
     # exact-integer numerator: every sum is BIGINT (order-free), the
     # single division is the one float op — bit-exact by construction.
     # DuckDB sum(BIGINT) returns HUGEINT: CAST each sum back.
@@ -2011,6 +2069,7 @@ QUERIES = {
     "part_reach": q_part_reach,
     "part_clustering": q_part_clustering,
     "source_drift": q_source_drift,
+    "event_asof_purchase": q_event_asof_purchase,
     "stratified_sample": q_stratified_sample,
     "mixture_plan": q_mixture_plan,
     "decontaminate": q_decontaminate,

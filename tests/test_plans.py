@@ -57,7 +57,8 @@ QUADRATIC_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
      "dsir_features", "bpe_merges", "token_pmi", "dup_grams", "cdc_chunks",
      "langid", "hll_distinct", "cms_topk", "bloom_probe", "bm25_topk",
      "doc_len_quantiles", "part_communities", "cluster_topics",
-     "part_reach", "part_clustering", "source_drift"],
+     "part_reach", "part_clustering", "source_drift",
+     "event_asof_purchase"],
 )
 def test_no_quadratic_plan_in_scale_queries(spark, qname):
     """Every headline dedup/similarity query must plan as equi joins.

@@ -1,0 +1,52 @@
+"""As-of join semantics: inclusive match, per-key isolation, null
+payload before the first right row — pinned on a hand-built timeline
+(the DuckDB-native-ASOF cross-check lives in test_entry_contract)."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ctinexus_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return f"2026-01-01 00:00:{s:02d}"
+
+
+def test_asof_join_timeline(spark):
+    """Left at t=5 precedes every right row (null), t=10 matches the
+    equal-timestamp right row (inclusive), t=15 still carries it,
+    t=25 advances to the later right row; a key with no right rows
+    stays null throughout."""
+    left = spark.createDataFrame(
+        [("A", _ts(5), 1), ("A", _ts(10), 2), ("A", _ts(15), 3),
+         ("A", _ts(25), 4), ("B", _ts(15), 5)],
+        "k string, ts_s string, lid bigint",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [("A", _ts(10), 100, 1.5), ("A", _ts(20), 200, 2.5)],
+        "k string, ts_s string, rid bigint, rv double",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "rid", "rv")
+
+    out = {r.lid: r for r in asof_join(left, right, "k", "ts", ["rid", "rv"]).collect()}
+    assert len(out) == 5
+    assert out[1].rid is None and out[1].rv is None
+    assert (out[2].rid, out[2].rv) == (100, 1.5)
+    assert (out[3].rid, out[3].rv) == (100, 1.5)
+    assert (out[4].rid, out[4].rv) == (200, 2.5)
+    assert out[5].rid is None  # key B has no right rows
+
+
+def test_asof_join_rejects_payload_collision(spark):
+    left = spark.createDataFrame([("A", _ts(1), 1)], "k string, ts_s string, rid bigint").select(
+        "k", F.col("ts_s").cast("timestamp").alias("ts"), "rid"
+    )
+    right = left
+    try:
+        asof_join(left, right, "k", "ts", ["rid"])
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "collide" in str(e)
