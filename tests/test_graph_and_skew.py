@@ -424,3 +424,34 @@ def test_grouped_map_stitched_whole_groups_across_batches(spark):
     assert sorted((r.k, r.n, r.s) for r in rows) == [
         (f"g{i:02d}", 7, 21) for i in range(10)
     ]
+
+
+def test_bfs_distances_matches_python_bfs_random(spark):
+    """Erdős–Rényi-ish random graph (seeded): frontier-expansion
+    distances equal a plain Python BFS truncated at the hop budget."""
+    import random
+    from collections import deque
+
+    from ctinexus_spark.graph.analytics import bfs_distances
+
+    rng = random.Random(11)
+    n, m, hops = 60, 120, 3
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.vertex: r.dist for r in bfs_distances(df, seeds=[0, 1], hops=hops).collect()}
+
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    want, dq = {0: 0, 1: 0}, deque([0, 1])
+    while dq:
+        v = dq.popleft()
+        if want[v] >= hops:
+            continue
+        for w in adj.get(v, ()):
+            if w not in want:
+                want[w] = want[v] + 1
+                dq.append(w)
+    assert got == want

@@ -321,3 +321,42 @@ def test_distribution_drift_identical_group_is_zero(spark):
     )
     rows = distribution_drift(toks).collect()
     assert len(rows) == 1 and rows[0].tv_dist == 0.0
+
+
+def test_mmr_matches_numpy_greedy_random(spark):
+    """40 random unit vectors, 3 queries: the unrolled DataFrame
+    rounds must reproduce a straight numpy greedy MMR (argmax with
+    (score, -id) preference) pick for pick."""
+    import numpy as np
+
+    from ctinexus_spark.operators.similarity import mmr_rerank
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    lam, k, cand_n = 0.6, 4, 10
+
+    out = mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 3), k=k, lam=lam, candidates=cand_n
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, {})[r.pick_rank] = r.neighbor_id
+
+    sims = vecs @ vecs.T
+    for q in range(3):
+        rel = {c: sims[q, c] for c in range(40) if c != q}
+        cand = sorted(rel, key=lambda c: (-rel[c], c))[:cand_n]
+        picked = []
+        for _ in range(k):
+            rem = [c for c in cand if c not in picked]
+            scores = {
+                c: lam * rel[c]
+                - (1 - lam) * (max(sims[c, s] for s in picked) if picked else 0.0)
+                for c in rem
+            }
+            best = min(rem, key=lambda c: (-scores[c], c))
+            picked.append(best)
+        assert [got[q][r] for r in range(1, k + 1)] == picked, (q, got[q], picked)

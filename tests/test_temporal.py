@@ -50,3 +50,42 @@ def test_asof_join_rejects_payload_collision(spark):
         assert False, "expected ValueError"
     except ValueError as e:
         assert "collide" in str(e)
+
+
+def test_asof_join_matches_bruteforce_random(spark):
+    """200 random left rows × 60 right rows over 5 keys: the
+    window-over-union carry must equal the per-row brute argmax
+    (latest right.ts <= left.ts per key)."""
+    import random
+
+    rng = random.Random(42)
+    keys = ["k0", "k1", "k2", "k3", "k4"]
+    rights = [
+        (k, _ts(rng.randrange(60)), i, float(i) * 0.5)
+        for i, k in enumerate(rng.choices(keys, k=60))
+    ]
+    # enforce the uniqueness contract: one right row per (key, ts)
+    seen, rdedup = set(), []
+    for k, t, i, v in rights:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rdedup.append((k, t, i, v))
+    lefts = [
+        (k, _ts(rng.randrange(60)), 1000 + j)
+        for j, k in enumerate(rng.choices(keys, k=200))
+    ]
+    left = spark.createDataFrame(lefts, "k string, ts_s string, lid bigint").select(
+        "k", F.col("ts_s").cast("timestamp").alias("ts"), "lid"
+    )
+    right = spark.createDataFrame(rdedup, "k string, ts_s string, rid bigint, rv double").select(
+        "k", F.col("ts_s").cast("timestamp").alias("ts"), "rid", "rv"
+    )
+    got = {r.lid: (r.rid, r.rv) for r in asof_join(left, right, "k", "ts", ["rid", "rv"]).collect()}
+
+    by_key = {}
+    for k, t, i, v in rdedup:
+        by_key.setdefault(k, []).append((t, i, v))
+    for k, t, lid in lefts:
+        cands = [(rt, i, v) for rt, i, v in by_key.get(k, []) if rt <= t]
+        want = max(cands)[1:] if cands else (None, None)
+        assert got[lid] == want, (lid, got[lid], want)
