@@ -64,6 +64,7 @@ CHANGED_THIS_ROUND = [
     "mmr_topk",
     "source_drift",
     "event_asof_purchase",
+    "part_ppr",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

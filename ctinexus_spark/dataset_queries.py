@@ -682,6 +682,20 @@ def q_source_drift(spark, sf_dir):
     )
 
 
+def q_part_ppr(spark, sf_dir):
+    """Personalized PageRank from two seed suppliers over the
+    shipment graph — the "entities related to X" relevance ranking on
+    a KG (random-walk-with-restart proximity). Same bit-exact
+    pinned-fold machinery as part_pagerank with the restart vector
+    uniform over the seeds; twin = _pagerank_sql(seeds=...) with the
+    personalized recurrence unrolled."""
+    from ctinexus_spark.graph.analytics import pagerank_pinned
+
+    return pagerank_pinned(
+        _shipment_edges(spark, sf_dir), iterations=5, seeds=["s1", "s7"]
+    )
+
+
 def q_part_reach(spark, sf_dir):
     """4-hop reachability from two seed suppliers over the undirected
     supplier↔part shipment graph — the k-hop neighborhood / blast-
@@ -2068,6 +2082,7 @@ QUERIES = {
     "part_triangles": q_part_triangles,
     "part_reach": q_part_reach,
     "part_clustering": q_part_clustering,
+    "part_ppr": q_part_ppr,
     "source_drift": q_source_drift,
     "event_asof_purchase": q_event_asof_purchase,
     "stratified_sample": q_stratified_sample,
@@ -2248,21 +2263,51 @@ QUERIES["ivf_pq_topk"] = q_ivf_pq_topk
 # k-core's integer peel is a DuckDB recursive CTE whose working table
 # carries the full surviving edge set per iteration.
 
-def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+def _pagerank_sql(
+    iterations: int = 5, damping: float = 0.85, seeds: list | None = None
+) -> str:
     """Unrolled-round DuckDB twin of pagerank_pinned over the
     supplier→part shipment edges. ::DOUBLE casts everywhere — bare
     DuckDB numeric literals are DECIMALs with exact arithmetic that
-    diverges from IEEE (verified: (1.0-0.85)/7 != the Python float)."""
+    diverges from IEEE (verified: (1.0-0.85)/7 != the Python float).
+    seeds=[...] emits the PERSONALIZED recurrence: restart vector
+    uniform over the seed set (rank = (1−d)·p + d·(contrib + dang·p)),
+    with 1−d and 1/|S| computed in Python and embedded ({v!r}::DOUBLE,
+    BM25 precedent) to mirror pagerank_pinned's F.lit constants."""
+    if seeds is not None:
+        p_val = 1.0 / len(set(seeds))
+        in_list = ", ".join(f"'{s}'" for s in sorted(set(seeds)))
+        pcase = (
+            f"(CASE WHEN {{v}}.vertex IN ({in_list}) "
+            f"THEN {p_val!r}::DOUBLE ELSE 0.0::DOUBLE END)"
+        )
+        r0 = f"r0 AS (SELECT vertex, {pcase.format(v='verts')} AS rank FROM verts)"
+    else:
+        r0 = "r0 AS (SELECT vertex, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM verts)"
     parts = [
-        """e AS (SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS t FROM lineitem),
+        f"""e AS (SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS t FROM lineitem),
 verts AS (SELECT s AS vertex FROM e UNION SELECT t FROM e),
 nn AS (SELECT count(*) AS n FROM verts),
 outd AS (SELECT s, count(*) AS od FROM e GROUP BY s),
 w AS (SELECT e.s, e.t, 1.0::DOUBLE / od AS w FROM e JOIN outd USING (s)),
-r0 AS (SELECT vertex, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM verts)"""
+{r0}"""
     ]
+    one_minus_d = 1.0 - float(damping)
     for i in range(1, iterations + 1):
         p = f"r{i - 1}"
+        if seeds is not None:
+            pv = pcase.format(v="v")
+            rank_expr = (
+                f"{one_minus_d!r}::DOUBLE * {pv}\n"
+                f"         + {damping}::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE)\n"
+                f"             + (SELECT dang FROM d{i}) * {pv})"
+            )
+        else:
+            rank_expr = (
+                f"(1.0::DOUBLE - {damping}::DOUBLE) / (SELECT n FROM nn)\n"
+                f"         + {damping}::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE)\n"
+                f"             + (SELECT dang FROM d{i}) / (SELECT n::DOUBLE FROM nn))"
+            )
         parts.append(
             f"""c{i} AS (
   SELECT w.t AS vertex, list_sum(list(r.rank * w.w ORDER BY w.s)) AS contrib
@@ -2274,9 +2319,7 @@ d{i} AS (
 ),
 r{i} AS (
   SELECT v.vertex,
-         (1.0::DOUBLE - {damping}::DOUBLE) / (SELECT n FROM nn)
-         + {damping}::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE)
-             + (SELECT dang FROM d{i}) / (SELECT n::DOUBLE FROM nn)) AS rank
+         {rank_expr} AS rank
   FROM verts v LEFT JOIN c{i} c ON c.vertex = v.vertex
 )"""
         )
@@ -2328,6 +2371,7 @@ WHERE NOT EXISTS (SELECT 1 FROM final_deg WHERE degree < {k})
 
 
 ORACLES["part_pagerank"] = _pagerank_sql(iterations=5, damping=0.85)
+ORACLES["part_ppr"] = _pagerank_sql(iterations=5, damping=0.85, seeds=["s1", "s7"])
 ORACLES["part_kcore"] = _kcore_sql(k=80)
 
 

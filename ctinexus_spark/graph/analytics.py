@@ -160,6 +160,7 @@ def pagerank_pinned(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 5,
+    seeds: list | None = None,
 ) -> DataFrame:
     """pagerank() with every floating-point reduction pinned to a
     deterministic order, making the ranks BIT-EXACT across runs,
@@ -174,6 +175,13 @@ def pagerank_pinned(
     list_sum(list(x ORDER BY k)) is the same strict left fold
     (token_pmi / pq_adc precedent), so an unrolled-SQL twin
     hash-matches at full double precision — no rounding column needed.
+
+    seeds=[...] switches to PERSONALIZED PageRank: the restart vector
+    p is uniform over the seed set instead of over all vertices
+    (init = p; per round rank = (1−d)·p + d·(contrib + dang·p)), so
+    ranks measure proximity to the seeds — the "entities related to X"
+    relevance query on a KG. The uniform path is untouched
+    (seeds=None reproduces the original expressions byte-for-byte).
 
     Cost: collect_list materializes each target's in-edge list in one
     group (bounded by max in-degree) — fine for oracle runs and still
@@ -200,8 +208,17 @@ def pagerank_pinned(
     w = barrier(
         e.join(outd, "s").select("s", "t", (F.lit(1.0) / F.col("outd")).alias("w"))
     )
-    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    personalized = seeds is not None
+    if personalized:
+        p_val = 1.0 / len(set(seeds))
+        pv = F.when(F.col("vertex").isin(list(seeds)), F.lit(p_val)).otherwise(
+            F.lit(0.0)
+        )
+        ranks = verts.withColumn("rank", pv)
+    else:
+        ranks = verts.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
+    one_minus_d = 1.0 - damping
     ordered_fold = lambda pairs, field: F.aggregate(  # noqa: E731
         F.array_sort(pairs), F.lit(0.0), lambda acc, x: acc + x[field]
     )
@@ -221,20 +238,19 @@ def pagerank_pinned(
                 ).alias("_dang")
             )
         )
+        if personalized:
+            new_rank = F.lit(one_minus_d) * pv + F.lit(damping) * (
+                F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("_dang") * pv
+            )
+        else:
+            new_rank = F.lit(base) + F.lit(damping) * (
+                F.coalesce(F.col("contrib"), F.lit(0.0))
+                + F.col("_dang") / F.lit(float(n))
+            )
         ranks = (
             verts.join(contribs, "vertex", "left")
             .crossJoin(F.broadcast(dangling))
-            .select(
-                "vertex",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("_dang") / F.lit(float(n))
-                    )
-                ).alias("rank"),
-            )
+            .select("vertex", new_rank.alias("rank"))
         )
         if (it + 1) % CHECKPOINT_EVERY == 0 and it + 1 < iterations:
             ranks = barrier(ranks)
