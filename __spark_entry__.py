@@ -65,6 +65,7 @@ CHANGED_THIS_ROUND = [
     "source_drift",
     "event_asof_purchase",
     "part_ppr",
+    "click_attribution",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

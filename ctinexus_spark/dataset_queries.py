@@ -663,6 +663,37 @@ def q_event_asof_purchase(spark, sf_dir):
     )
 
 
+def q_click_attribution(spark, sf_dir):
+    """Batch interval join: every click within 2 hours at-or-after a
+    purchase by the same user — the attribution / config-window range
+    join. Spark side bucketizes time so the match is an EQUI-join on
+    (user, bucket) + exact range filter (operators/temporal.py — no
+    per-key nested loop); the oracle is the plain BETWEEN range join.
+    Integer epoch gap column — hash-exact."""
+    from ctinexus_spark.operators.temporal import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("p_end"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    j = interval_join(
+        clk, pur, key="user_id", ts="ts", start="p_start", end="p_end",
+        bucket_seconds=7200,
+    )
+    gap = (
+        F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("p_start"))
+    ).cast("bigint")
+    return j.select(
+        "purchase_event_id", "click_event_id", "user_id", gap.alias("gap_secs")
+    )
+
+
 def q_source_drift(spark, sf_dir):
     """Per-source distribution drift: total-variation distance between
     each source's token distribution and the corpus distribution — the
@@ -1927,6 +1958,23 @@ SELECT event_type,
        CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
 """,
+    # the oracle is the naive BETWEEN range join — the Spark side's
+    # bucketized equi-join must reproduce it exactly (inclusive both
+    # bounds; integer epoch gap)
+    "click_attribution": """
+WITH pur AS (
+  SELECT user_id, ts AS pts, event_id AS purchase_event_id
+  FROM events WHERE event_type = 'purchase'
+),
+clk AS (
+  SELECT user_id, ts AS cts, event_id AS click_event_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_event_id, c.click_event_id, p.user_id,
+       CAST(floor(epoch(c.cts)) - floor(epoch(p.pts)) AS BIGINT) AS gap_secs
+FROM pur p JOIN clk c ON p.user_id = c.user_id
+  AND c.cts >= p.pts AND c.cts <= p.pts + INTERVAL 2 HOUR
+""",
     # the oracle uses DuckDB's NATIVE ASOF JOIN — an independent
     # as-of implementation vs Spark's window-over-union — so this row
     # cross-checks two unrelated algorithms. Payload carried verbatim
@@ -2085,6 +2133,7 @@ QUERIES = {
     "part_ppr": q_part_ppr,
     "source_drift": q_source_drift,
     "event_asof_purchase": q_event_asof_purchase,
+    "click_attribution": q_click_attribution,
     "stratified_sample": q_stratified_sample,
     "mixture_plan": q_mixture_plan,
     "decontaminate": q_decontaminate,

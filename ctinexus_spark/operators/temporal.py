@@ -78,3 +78,63 @@ def asof_join(
         *[F.col(c) for c in left_cols],
         *[F.col(f"_c_{c}").alias(c) for c in payload],
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """All (interval, point) pairs with start <= point.ts <= end on
+    the same key — the batch twin of the streaming interval join
+    (click-attribution, config-window matching). Inclusive on both
+    bounds.
+
+    Spark's optimizer plans a raw `BETWEEN` join as a nested loop per
+    key; the scalable formulation bucketizes time: each interval
+    explodes to its covered buckets of `bucket_seconds` (sequence of
+    floor-epochs — bounded fan-out: ceil(interval_len/width)+1 rows),
+    each point maps to its single bucket, and the match becomes an
+    EQUI-join on (key, bucket) followed by the exact range filter. A
+    point lives in exactly one bucket, so no pair is found twice — no
+    dedup pass. Pick bucket_seconds near the typical interval length:
+    fan-out stays O(1) per interval and each bucket joins only
+    time-local rows.
+
+    Integer epoch arithmetic throughout (unix_timestamp under the UTC
+    session zone == DuckDB epoch(), the event_leadlag precedent) —
+    outputs carrying epoch gaps are BIGINT, trivially hash-exact.
+    Points and intervals must share ONLY the key column name.
+    """
+    clash = (set(points.columns) & set(intervals.columns)) - {key}
+    if clash:
+        raise ValueError(f"point/interval columns collide: {clash}")
+    p_ep = F.unix_timestamp(F.col(ts)).cast("bigint")
+    s_ep = F.unix_timestamp(F.col(start)).cast("bigint")
+    e_ep = F.unix_timestamp(F.col(end)).cast("bigint")
+    w = int(bucket_seconds)
+    pts = points.withColumn("_ep", p_ep).withColumn(
+        "_b", F.floor(F.col("_ep") / w).cast("bigint")
+    )
+    ivs = (
+        intervals.withColumn("_s", s_ep)
+        .withColumn("_e", e_ep)
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_s") / w).cast("bigint"),
+                    F.floor(F.col("_e") / w).cast("bigint"),
+                )
+            ),
+        )
+    )
+    return (
+        pts.join(ivs, [key, "_b"])
+        .filter((F.col("_ep") >= F.col("_s")) & (F.col("_ep") <= F.col("_e")))
+        .drop("_b", "_ep", "_s", "_e")
+    )

@@ -89,3 +89,64 @@ def test_asof_join_matches_bruteforce_random(spark):
         cands = [(rt, i, v) for rt, i, v in by_key.get(k, []) if rt <= t]
         want = max(cands)[1:] if cands else (None, None)
         assert got[lid] == want, (lid, got[lid], want)
+
+
+def test_interval_join_boundaries_and_buckets(spark):
+    """Inclusive on both bounds; a point exactly at start and one at
+    end match, one second past does not; intervals spanning multiple
+    buckets still find points in later buckets; key isolation holds."""
+    from ctinexus_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame(
+        [("A", _ts(0), 1), ("A", _ts(10), 2), ("A", _ts(30), 3),
+         ("A", _ts(31), 4), ("B", _ts(10), 5)],
+        "k string, ts_s string, pid bigint",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "pid")
+    ivs = spark.createDataFrame(
+        [("A", _ts(0), _ts(30), 100)],
+        "k string, s_s string, e_s string, iid bigint",
+    ).select(
+        "k",
+        F.col("s_s").cast("timestamp").alias("s"),
+        F.col("e_s").cast("timestamp").alias("e"),
+        "iid",
+    )
+    # bucket width 7s: the 30s interval spans 5 buckets
+    out = interval_join(pts, ivs, "k", "ts", "s", "e", bucket_seconds=7).collect()
+    assert sorted(r.pid for r in out) == [1, 2, 3]
+    assert all(r.iid == 100 for r in out)
+
+
+def test_interval_join_matches_bruteforce_random(spark):
+    """Random points/intervals: the bucketized equi-join equals the
+    per-pair brute filter for several bucket widths (width must not
+    change semantics)."""
+    import random
+
+    from ctinexus_spark.operators.temporal import interval_join
+
+    rng = random.Random(5)
+    keys = ["a", "b", "c"]
+    pts_rows = [(rng.choice(keys), _ts(rng.randrange(60)), j) for j in range(80)]
+    ivs_rows = []
+    for i in range(25):
+        s = rng.randrange(55)
+        ivs_rows.append((rng.choice(keys), _ts(s), _ts(min(59, s + rng.randrange(12))), 100 + i))
+    pts = spark.createDataFrame(pts_rows, "k string, ts_s string, pid bigint").select(
+        "k", F.col("ts_s").cast("timestamp").alias("ts"), "pid"
+    )
+    ivs = spark.createDataFrame(ivs_rows, "k string, s_s string, e_s string, iid bigint").select(
+        "k", F.col("s_s").cast("timestamp").alias("s"),
+        F.col("e_s").cast("timestamp").alias("e"), "iid",
+    )
+    want = sorted(
+        (p[2], i[3])
+        for p in pts_rows for i in ivs_rows
+        if p[0] == i[0] and i[1] <= p[1] <= i[2]
+    )
+    for width in (3, 10, 100):
+        got = sorted(
+            (r.pid, r.iid)
+            for r in interval_join(pts, ivs, "k", "ts", "s", "e", bucket_seconds=width).collect()
+        )
+        assert got == want, width
