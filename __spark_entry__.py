@@ -66,6 +66,7 @@ CHANGED_THIS_ROUND = [
     "event_asof_purchase",
     "part_ppr",
     "click_attribution",
+    "event_rollup_cascade",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

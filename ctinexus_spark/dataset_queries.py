@@ -694,6 +694,19 @@ def q_click_attribution(spark, sf_dir):
     )
 
 
+def q_event_rollup_cascade(spark, sf_dir):
+    """Hypertable-style cascading rollup: minute/hour/day event counts
+    + value sums where each coarser level re-aggregates the finer
+    level's PARTIALS (raw rows scanned once). The oracle aggregates
+    each level directly from raw — equality holds because counts and
+    DECIMAL sums are associative-exact; the double cast happens only
+    in the final projection on both engines."""
+    from ctinexus_spark.operators.temporal import time_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return time_rollup(ev, ts="ts", value="value")
+
+
 def q_source_drift(spark, sf_dir):
     """Per-source distribution drift: total-variation distance between
     each source's token distribution and the corpus distribution — the
@@ -1958,6 +1971,32 @@ SELECT event_type,
        CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
 """,
+    # direct per-level aggregation from raw: equals the Spark cascade
+    # because counts and DECIMAL(18,6) sums are associative-exact and
+    # both engines cast to DOUBLE only in the final projection
+    "event_rollup_cascade": """
+WITH m AS (
+  SELECT date_trunc('minute', ts) AS bucket_start,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1
+),
+h AS (
+  SELECT date_trunc('hour', ts) AS bucket_start,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT date_trunc('day', ts) AS bucket_start,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT 'minute' AS level, bucket_start, n, sum_value FROM m
+UNION ALL SELECT 'hour', bucket_start, n, sum_value FROM h
+UNION ALL SELECT 'day', bucket_start, n, sum_value FROM d
+""",
     # the oracle is the naive BETWEEN range join — the Spark side's
     # bucketized equi-join must reproduce it exactly (inclusive both
     # bounds; integer epoch gap)
@@ -2134,6 +2173,7 @@ QUERIES = {
     "source_drift": q_source_drift,
     "event_asof_purchase": q_event_asof_purchase,
     "click_attribution": q_click_attribution,
+    "event_rollup_cascade": q_event_rollup_cascade,
     "stratified_sample": q_stratified_sample,
     "mixture_plan": q_mixture_plan,
     "decontaminate": q_decontaminate,

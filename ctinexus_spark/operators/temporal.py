@@ -138,3 +138,60 @@ def interval_join(
         .filter((F.col("_ep") >= F.col("_s")) & (F.col("_ep") <= F.col("_e")))
         .drop("_b", "_ep", "_s", "_e")
     )
+
+
+def time_rollup(
+    events: DataFrame,
+    ts: str = "ts",
+    value: str | None = None,
+) -> DataFrame:
+    """(level, bucket_start, n, sum_value): minute/hour/day counts —
+    the hypertable continuous-aggregate cascade. The minute level
+    aggregates RAW rows once; the hour level re-aggregates the minute
+    PARTIALS and the day level the hour partials, so raw data is
+    scanned exactly once no matter how many resolutions materialize
+    (at 100 TB the raw scan dominates; each cascade step above it
+    touches ≤ |buckets| rows).
+
+    Counts are integers; the value sum accumulates as DECIMAL(18,6)
+    through every cascade step (associative, exact — order-free) and
+    casts to DOUBLE only in the final projection, so sum_value is
+    bit-exact vs a direct per-level aggregation (the
+    event_type_rollup precedent). Each intermediate level is
+    barriered: it feeds both its own output row-set and the next
+    coarser level (multi-consumer branch rule).
+    """
+    from ctinexus_spark.partitioning import barrier
+
+    val = (
+        F.col(value).cast("decimal(18,6)")
+        if value is not None
+        else F.lit(0).cast("decimal(18,6)")
+    )
+    minute = barrier(
+        events.groupBy(F.date_trunc("minute", F.col(ts)).alias("bucket_start"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(val).alias("sv"),
+        )
+    )
+    hour = barrier(
+        minute.groupBy(
+            F.date_trunc("hour", F.col("bucket_start")).alias("bucket_start")
+        ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("sv").alias("sv"))
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", F.col("bucket_start")).alias("bucket_start")
+    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("sv").alias("sv"))
+
+    def out(df, level):
+        return df.select(
+            F.lit(level).alias("level"),
+            "bucket_start",
+            "n",
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+
+    return out(minute, "minute").unionByName(out(hour, "hour")).unionByName(
+        out(day, "day")
+    )

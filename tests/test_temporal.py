@@ -150,3 +150,34 @@ def test_interval_join_matches_bruteforce_random(spark):
             for r in interval_join(pts, ivs, "k", "ts", "s", "e", bucket_seconds=width).collect()
         )
         assert got == want, width
+
+
+def test_time_rollup_cascade_consistency(spark):
+    """Cascaded hour/day rows must equal direct aggregation of the
+    raw rows, and each level's counts sum to the row total."""
+    from ctinexus_spark.operators.temporal import time_rollup
+
+    rows = [
+        (f"2026-03-01 0{h}:{m:02d}:{s:02d}", float(h * 10 + m))
+        for h in range(3) for m in (0, 1, 59) for s in (5, 40)
+    ]
+    ev = spark.createDataFrame(rows, "ts_s string, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    out = time_rollup(ev, ts="ts", value="value").collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r.level, []).append(r)
+    assert sum(r.n for r in by_level["minute"]) == len(rows)
+    assert sum(r.n for r in by_level["hour"]) == len(rows)
+    assert len(by_level["day"]) == 1 and by_level["day"][0].n == len(rows)
+    # hour rows match a direct python aggregation
+    want_hours = {}
+    for ts_s, v in rows:
+        want_hours.setdefault(ts_s[:13], [0, 0.0])
+        want_hours[ts_s[:13]][0] += 1
+        want_hours[ts_s[:13]][1] += v
+    got_hours = {str(r.bucket_start)[:13]: (r.n, r.sum_value) for r in by_level["hour"]}
+    assert set(got_hours) == set(want_hours)
+    for k, (n, sv) in want_hours.items():
+        assert got_hours[k][0] == n and abs(got_hours[k][1] - sv) < 1e-9
