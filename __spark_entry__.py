@@ -67,6 +67,8 @@ CHANGED_THIS_ROUND = [
     "part_ppr",
     "click_attribution",
     "event_rollup_cascade",
+    "kmv_distinct",
+    "kmv_overlap",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

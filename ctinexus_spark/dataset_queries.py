@@ -2705,6 +2705,73 @@ QUERIES["cms_topk"] = q_cms_topk
 QUERIES["bloom_probe"] = q_bloom_probe
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """Per-source KMV (bottom-k) distinct estimate over 3-gram
+    shingles — the distinct sketch that also supports set operations
+    (kmv_overlap). Salted two-stage min-k (no per-group window sort);
+    estimate (k−1)·2³²/h_k is one IEEE division — bit-exact."""
+    from ctinexus_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(_grams3_df(spark, sf_dir, with_source=True), "source", "v", k=256)
+
+
+def q_kmv_overlap(spark, sf_dir):
+    """Set operations on two sources' KMV sketches: merged bottom-k →
+    Jaccard / union-size / intersection-size estimates between src0
+    and src1's shingle sets — 'how much do these two feeds overlap'
+    without comparing any documents."""
+    from ctinexus_spark.operators.sketches import kmv_overlap
+
+    return kmv_overlap(
+        _grams3_df(spark, sf_dir, with_source=True), "source", "v",
+        ga="src0", gb="src1", k=256,
+    )
+
+
+_KMV_SCALE = float(255 * (1 << 32))
+
+ORACLES["kmv_distinct"] = f"""
+WITH {_GRAMS3_CTES},
+dh AS (SELECT DISTINCT source, {_hex32_sql('v')} AS h FROM g),
+rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM dh),
+top AS (SELECT source, CAST(count(*) AS INT) AS n_kept FROM rk WHERE r <= 256 GROUP BY source),
+kth AS (SELECT source, h AS kth_hash FROM rk WHERE r = 256)
+SELECT t.source AS "group", t.n_kept,
+       CAST(coalesce(k.kth_hash, -1) AS BIGINT) AS kth_hash,
+       CASE WHEN k.kth_hash IS NULL THEN CAST(t.n_kept AS DOUBLE)
+            ELSE {_KMV_SCALE!r}::DOUBLE / CAST(k.kth_hash AS DOUBLE) END AS kmv_est
+FROM top t LEFT JOIN kth k USING (source)
+"""
+
+ORACLES["kmv_overlap"] = f"""
+WITH {_GRAMS3_CTES},
+dh AS (SELECT DISTINCT source, {_hex32_sql('v')} AS h FROM g
+       WHERE source IN ('src0', 'src1')),
+rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM dh),
+a AS (SELECT list(h ORDER BY h) AS hs FROM rk WHERE source = 'src0' AND r <= 256),
+b AS (SELECT list(h ORDER BY h) AS hs FROM rk WHERE source = 'src1' AND r <= 256),
+u AS (SELECT list_slice(list_sort(list_distinct(flatten([a.hs, b.hs]))), 1, 256) AS hs
+      FROM a, b),
+m AS (
+  SELECT len(list_intersect(list_intersect(u.hs, a.hs), b.hs)) AS c,
+         len(u.hs) AS kp, u.hs[256] AS ukth, len(u.hs) >= 256 AS isfull
+  FROM u, a, b
+)
+SELECT CAST(c AS INT) AS inter_common,
+       CAST(kp AS INT) AS k_union,
+       CAST(c AS DOUBLE) / CAST(kp AS DOUBLE) AS jaccard_est,
+       CASE WHEN isfull THEN {_KMV_SCALE!r}::DOUBLE / CAST(ukth AS DOUBLE)
+            ELSE CAST(kp AS DOUBLE) END AS union_est,
+       (CAST(c AS DOUBLE) / CAST(kp AS DOUBLE))
+         * (CASE WHEN isfull THEN {_KMV_SCALE!r}::DOUBLE / CAST(ukth AS DOUBLE)
+                 ELSE CAST(kp AS DOUBLE) END) AS inter_est
+FROM m
+"""
+
+QUERIES["kmv_distinct"] = q_kmv_distinct
+QUERIES["kmv_overlap"] = q_kmv_overlap
+
+
 # --- BM25 retrieval + exact quantiles (round 5) -------------------------
 
 # BM25 constants, computed ONCE in Python and embedded verbatim on

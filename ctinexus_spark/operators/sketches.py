@@ -36,6 +36,9 @@ __all__ = [
     "cms_heavy_hitters",
     "bloom_positions",
     "bloom_probe",
+    "kmv_min_k",
+    "kmv_distinct",
+    "kmv_overlap",
 ]
 
 
@@ -295,4 +298,108 @@ def bloom_probe(
     return flagged.join(F.broadcast(membership), value_col, "left").select(
         F.col(value_col),
         F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
+    )
+
+
+# --- KMV (k-minimum-values / bottom-k) ----------------------------------
+
+
+def kmv_min_k(
+    values: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+    salts: int = 64,
+) -> DataFrame:
+    """(group, hs): the k smallest DISTINCT hash32 values per group —
+    the KMV / bottom-k sketch, the distinct-count sketch that (unlike
+    HLL registers) also supports SET OPERATIONS: the union of two KMVs
+    is the bottom-k of their merged hash sets, so intersection /
+    Jaccard estimates fall out of the same k values.
+
+    Two salted partial-aggregation stages instead of a per-group
+    window sort: per (group, h % salts) the k smallest collapse
+    map-side to a ≤k array; stage two takes the k smallest of the
+    ≤ salts·k survivors. Every aggregate ships bounded arrays — no
+    single-reducer-per-group sort at any group size."""
+    d = values.select(
+        F.col(group_col).alias("group"), hash32(F.col(value_col)).alias("h")
+    ).distinct()
+    s1 = d.groupBy("group", (F.col("h") % salts).alias("_s")).agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("hs")
+    )
+    return (
+        s1.select("group", F.explode("hs").alias("h"))
+        .groupBy("group")
+        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("hs"))
+    )
+
+
+def kmv_distinct(
+    values: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+    salts: int = 64,
+) -> DataFrame:
+    """(group, n_kept, kth_hash, kmv_est): KMV distinct-count
+    estimate (k−1)·2³²/h_k — exact count when the group holds fewer
+    than k distinct values (the sketch IS the value set then;
+    kth_hash reports −1). One IEEE division of exact integer-valued
+    doubles (scale constant Python-computed) — engine bit-exact."""
+    kmv = kmv_min_k(values, group_col, value_col, k=k, salts=salts)
+    size = F.size("hs")
+    scale = float((k - 1) * (1 << 32))
+    kth = F.when(size >= k, F.element_at("hs", k)).otherwise(F.lit(-1)).cast("bigint")
+    est = F.when(
+        size >= k, F.lit(scale) / F.element_at("hs", k).cast("double")
+    ).otherwise(size.cast("double"))
+    return kmv.select(
+        "group",
+        size.cast("int").alias("n_kept"),
+        kth.alias("kth_hash"),
+        est.alias("kmv_est"),
+    )
+
+
+def kmv_overlap(
+    values: DataFrame,
+    group_col: str,
+    value_col: str,
+    ga,
+    gb,
+    k: int = 256,
+    salts: int = 64,
+) -> DataFrame:
+    """One row: (inter_common, k_union, jaccard_est, union_est,
+    inter_est) for two groups — the KMV set-operation payoff: merge
+    the two bottom-k sketches, keep the k smallest of the union, count
+    how many of those appear in BOTH sketches (c), and estimate
+    Jaccard = c/k', |A∪B| from the union's kth hash, and |A∩B| as
+    their product. Fixed two-op IEEE chain (divide, then multiply) —
+    engine bit-exact. The 1×1 cross join attaches two one-row sketch
+    aggregates — constant-size build sides at any corpus scale."""
+    kmv = kmv_min_k(
+        values.filter(F.col(group_col).isin([ga, gb])), group_col, value_col,
+        k=k, salts=salts,
+    )
+    a = kmv.filter(F.col("group") == ga).select(F.col("hs").alias("a_hs"))
+    b = kmv.filter(F.col("group") == gb).select(F.col("hs").alias("b_hs"))
+    u = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("a_hs"), F.col("b_hs")))), 1, k
+    )
+    scale = float((k - 1) * (1 << 32))
+    j = a.crossJoin(b).select("a_hs", "b_hs", u.alias("u"))
+    kp = F.size("u")
+    c = F.size(F.array_intersect(F.array_intersect(F.col("u"), F.col("a_hs")), F.col("b_hs")))
+    union_est = F.when(
+        kp >= k, F.lit(scale) / F.element_at("u", k).cast("double")
+    ).otherwise(kp.cast("double"))
+    jac = c.cast("double") / kp.cast("double")
+    return j.select(
+        c.cast("int").alias("inter_common"),
+        kp.cast("int").alias("k_union"),
+        jac.alias("jaccard_est"),
+        union_est.alias("union_est"),
+        (jac * union_est).alias("inter_est"),
     )

@@ -124,3 +124,56 @@ def test_bloom_probe_nondistinct_probe_side(spark):
     members = {r["v"] for r in out if r["is_member"]}
     assert members == {f"value-{i}" for i in range(30)}
     assert len(out) == len({r["v"] for r in out})  # one row per value
+
+
+def test_kmv_exact_below_k(spark):
+    """Fewer distinct values than k: the sketch IS the set — exact
+    count, kth_hash sentinel −1."""
+    vals = spark.createDataFrame(
+        [("g", f"value-{i % 40}") for i in range(200)], "g string, v string"
+    )
+    out = K.kmv_distinct(vals, "g", "v", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_kept, r.kth_hash, r.kmv_est) == (40, -1, 40.0)
+
+
+def test_kmv_matches_python_reference(spark):
+    """k=8 over 100 distinct values: bottom-k set, kth hash, and the
+    (k−1)·2³²/h_k estimate replicated with py_hash32 exactly."""
+    vals = spark.createDataFrame(
+        [("g", f"value-{i}") for i in range(100)], "g string, v string"
+    )
+    out = K.kmv_distinct(vals, "g", "v", k=8).collect()[0]
+    hs = sorted(K.py_hash32(f"value-{i}") for i in range(100))[:8]
+    assert out.n_kept == 8 and out.kth_hash == hs[7]
+    assert out.kmv_est == float(7 * (1 << 32)) / float(hs[7])
+
+
+def test_kmv_overlap_matches_python_reference(spark):
+    """Two groups with a known 50-value intersection: merged bottom-k,
+    intersection count, and the div-then-mul estimate chain replicated
+    in Python bit-for-bit; Jaccard estimate lands near the true 1/3."""
+    rows = [("a", f"common-{i}") for i in range(50)] + [
+        ("a", f"left-{i}") for i in range(50)
+    ] + [("b", f"common-{i}") for i in range(50)] + [
+        ("b", f"right-{i}") for i in range(50)
+    ]
+    vals = spark.createDataFrame(rows, "g string, v string")
+    k = 32
+    out = K.kmv_overlap(vals, "g", "v", ga="a", gb="b", k=k).collect()[0]
+
+    ah = sorted({K.py_hash32(f"common-{i}") for i in range(50)}
+                | {K.py_hash32(f"left-{i}") for i in range(50)})[:k]
+    bh = sorted({K.py_hash32(f"common-{i}") for i in range(50)}
+                | {K.py_hash32(f"right-{i}") for i in range(50)})[:k]
+    u = sorted(set(ah) | set(bh))[:k]
+    c = len(set(u) & set(ah) & set(bh))
+    kp = len(u)
+    union_est = float((k - 1) * (1 << 32)) / float(u[k - 1]) if kp >= k else float(kp)
+    jac = float(c) / float(kp)
+    assert (out.inter_common, out.k_union) == (c, kp)
+    assert out.jaccard_est == jac and out.union_est == union_est
+    assert out.inter_est == jac * union_est
+    # true Jaccard is 50/150; the estimate should be in the ballpark
+    assert 0.1 < out.jaccard_est < 0.6
