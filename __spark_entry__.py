@@ -69,6 +69,7 @@ CHANGED_THIS_ROUND = [
     "event_rollup_cascade",
     "kmv_distinct",
     "kmv_overlap",
+    "part_truss",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

@@ -707,6 +707,81 @@ def q_event_rollup_cascade(spark, sf_dir):
     return time_rollup(ev, ts="ts", value="value")
 
 
+def q_part_truss(spark, sf_dir):
+    """4-truss of the part co-occurrence graph restricted to parts
+    < 300 (2689 edges at sf0.01; supports run 1-9 so k=4 peels a real
+    cascade, 2689 → 617 edges) — edge-level cohesion, strictly
+    stronger than the k-core. Iterative triangle-support peel
+    (graph/analytics.k_truss); oracle = WITH RECURSIVE re-deriving
+    per-edge supports from uncorrelated triangle enumerations over
+    the working edge table each step (correlated per-edge subqueries
+    do NOT decorrelate in DuckDB — measured timeout)."""
+    from ctinexus_spark.graph.analytics import k_truss
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).filter(F.col("l_partkey") < 300)
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return k_truss(edges, k=4)
+
+
+def _ktruss_sql(k: int = 4, max_part: int = 300) -> str:
+    """Recursive k-truss twin: per step, per-edge triangle supports
+    come from three UNCORRELATED copies of the a<b<c triangle
+    enumeration over the working table (multiple recursive references
+    + aggregates are legal in DuckDB 1.0); termination = the survivor
+    count equals the working count; final NOT EXISTS guard mirrors the
+    _kcore_sql empty-truss convention."""
+
+    def sup(srctbl: str) -> str:
+        tri = (
+            f"SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+            f"FROM {srctbl} e1 JOIN {srctbl} e2 ON e1.v = e2.u "
+            f"JOIN {srctbl} e3 ON e3.u = e1.u AND e3.v = e2.v"
+        )
+        return f"""(
+  SELECT u, v, count(*) AS s FROM (
+    SELECT t.a AS u, t.b AS v FROM ({tri}) t
+    UNION ALL SELECT t.a, t.c FROM ({tri}) t
+    UNION ALL SELECT t.b, t.c FROM ({tri}) t
+  ) GROUP BY u, v
+)"""
+
+    thresh = k - 2
+    return f"""
+WITH RECURSIVE co AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < {max_part} AND b.l_partkey < {max_part}
+),
+peel(iter, u, v) AS (
+  SELECT 0, u, v FROM co
+  UNION ALL
+  SELECT c.iter + 1, c.u, c.v
+  FROM peel c JOIN {sup('peel')} sup ON sup.u = c.u AND sup.v = c.v
+  WHERE sup.s >= {thresh}
+    AND (SELECT count(*) FROM peel)
+        > (SELECT count(*) FROM {sup('peel')} WHERE s >= {thresh})
+),
+fe AS (SELECT u, v FROM peel WHERE iter = (SELECT max(iter) FROM peel)),
+fs AS (
+  SELECT c.u, c.v, CAST(coalesce(sup.s, 0) AS BIGINT) AS support
+  FROM fe c LEFT JOIN {sup('fe')} sup ON sup.u = c.u AND sup.v = c.v
+)
+SELECT u, v, support FROM fs
+WHERE NOT EXISTS (SELECT 1 FROM fs WHERE support < {thresh})
+"""
+
+
 def q_source_drift(spark, sf_dir):
     """Per-source distribution drift: total-variation distance between
     each source's token distribution and the corpus distribution — the
@@ -2170,6 +2245,7 @@ QUERIES = {
     "part_reach": q_part_reach,
     "part_clustering": q_part_clustering,
     "part_ppr": q_part_ppr,
+    "part_truss": q_part_truss,
     "source_drift": q_source_drift,
     "event_asof_purchase": q_event_asof_purchase,
     "click_attribution": q_click_attribution,
@@ -2462,6 +2538,7 @@ WHERE NOT EXISTS (SELECT 1 FROM final_deg WHERE degree < {k})
 ORACLES["part_pagerank"] = _pagerank_sql(iterations=5, damping=0.85)
 ORACLES["part_ppr"] = _pagerank_sql(iterations=5, damping=0.85, seeds=["s1", "s7"])
 ORACLES["part_kcore"] = _kcore_sql(k=80)
+ORACLES["part_truss"] = _ktruss_sql(k=4, max_part=300)
 
 
 def _mmr_sql(k: int = 5, lam: float = 0.7, candidates: int = 20, nq: int = 8) -> str:
@@ -3066,6 +3143,9 @@ BENCH_QUERIES = {
     "sketch_cms": q_cms_topk,
     # zero-driver-sync iterative graph op (fixed-round LPA)
     "graph_lpa": q_part_communities,
+    # temporal primitives (round 5): as-of carry + cascading rollup
+    "temporal_asof": q_event_asof_purchase,
+    "temporal_rollup": q_event_rollup_cascade,
 }
 
 

@@ -23,15 +23,10 @@ from ctinexus_spark.partitioning import barrier
 CHECKPOINT_EVERY = 3
 
 
-def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """edges(src, dst) (directions/duplicates/self-loops ignored) →
-    (vertex, n_triangles) for every vertex in ≥1 triangle."""
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-        F.col("a") != F.col("b")
-    )
-    und = e.select(
-        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-    ).distinct()
+def _oriented_triangles(und: DataFrame) -> DataFrame:
+    """und: CANONICAL distinct undirected edges (u < v, no self
+    loops) → one row (s, t1, t2) per triangle, found exactly once via
+    degree-ordered orientation (arboricity-bounded 2-path join)."""
     deg = (
         und.select(F.col("u").alias("x"))
         .unionByName(und.select(F.col("v").alias("x")))
@@ -63,9 +58,21 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     paths = p1.join(p2, "s").filter(t1_first)
     # rank(t1) < rank(t2) ⇒ the closing edge, if present, is oriented
     # t1→t2 — one equi-join probe per 2-path, each triangle found once
-    tri = paths.join(
+    return paths.join(
         o.select(F.col("s").alias("t1"), F.col("t").alias("t2")), ["t1", "t2"]
     ).select("s", "t1", "t2")
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """edges(src, dst) (directions/duplicates/self-loops ignored) →
+    (vertex, n_triangles) for every vertex in ≥1 triangle."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = e.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    tri = _oriented_triangles(und)
     verts = (
         tri.select(F.col("s").alias("vertex"))
         .unionByName(tri.select(F.col("t1").alias("vertex")))
@@ -497,4 +504,71 @@ def clustering_coefficient(
                 / (F.col("degree") * (F.col("degree") - 1)).cast("double")
             ).alias("clustering"),
         )
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(u, v, support): the k-truss — the maximal subgraph in which
+    every edge sits in ≥ k−2 triangles — the edge-level cohesion
+    extraction that is strictly stronger than the (k−1)-core (a truss
+    edge needs k−2 COMMON neighbors, not just degrees). The classic
+    community-core / spam-clique separator on co-occurrence graphs.
+
+    Iterative peel, k_core's shape one level up: per round, enumerate
+    triangles over the surviving edges with the degree-ordered
+    orientation (_oriented_triangles — arboricity-bounded, hot stars
+    contribute zero 2-paths), explode each triangle to its three
+    canonical edges, partial-aggregate per-edge support, and keep
+    edges with support ≥ k−2 (edges in no triangle drop for k ≥ 3 —
+    absent from the support table IS support 0). One driver
+    convergence count per round (the survivor count doubles as the
+    next round's size — no second action); each round's edge set is
+    barriered because the orientation references it several times.
+    Integer output, deterministic; the DuckDB twin re-derives supports
+    per WITH RECURSIVE step over the working edge table. Raises on
+    non-convergence (components.py precedent).
+    """
+    cur = barrier(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    n_cur = cur.count()
+    thresh = k - 2
+    for _ in range(max_iterations):
+        tri = _oriented_triangles(cur)
+        e3 = (
+            tri.select(
+                F.least("s", "t1").alias("u"), F.greatest("s", "t1").alias("v")
+            )
+            .unionByName(
+                tri.select(
+                    F.least("s", "t2").alias("u"), F.greatest("s", "t2").alias("v")
+                )
+            )
+            .unionByName(
+                tri.select(
+                    F.least("t1", "t2").alias("u"), F.greatest("t1", "t2").alias("v")
+                )
+            )
+        )
+        surv = barrier(
+            e3.groupBy("u", "v")
+            .agg(F.count("*").cast("bigint").alias("support"))
+            .filter(F.col("support") >= thresh)
+        )
+        n_surv = surv.count()
+        if n_surv == n_cur:
+            return surv
+        cur = surv.select("u", "v")
+        n_cur = n_surv
+    raise RuntimeError(
+        f"k_truss did not converge within {max_iterations} peel rounds"
     )

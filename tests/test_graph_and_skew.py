@@ -491,3 +491,21 @@ def test_personalized_pagerank_matches_numpy(spark):
         assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
     # proximity: the seed and its direct neighbor outrank the far side
     assert got[0] > got[3] and got[1] > got[3]
+
+
+def test_k_truss_peels_to_clique(spark):
+    """K4 plus a pendant triangle glued on edge (1,2): the pendant's
+    edges sit in one triangle each (< k-2=2) and peel away; the K4
+    survives with every edge's support back at 2. k=5 empties the
+    graph entirely (K4 edges max out at support 2)."""
+    from ctinexus_spark.graph.analytics import k_truss
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(1, 5), (2, 5)], "src bigint, dst bigint"
+    )
+    out = {(r.u, r.v): r.support for r in k_truss(edges, k=4).collect()}
+    assert set(out) == set(k4)
+    assert all(s == 2 for s in out.values())
+
+    assert k_truss(edges, k=5).count() == 0

@@ -58,7 +58,8 @@ QUADRATIC_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
      "langid", "hll_distinct", "cms_topk", "bloom_probe", "bm25_topk",
      "doc_len_quantiles", "part_communities", "cluster_topics",
      "part_reach", "part_clustering", "source_drift",
-     "event_asof_purchase", "click_attribution", "kmv_distinct"],
+     "event_asof_purchase", "click_attribution", "kmv_distinct",
+     "part_truss"],
 )
 def test_no_quadratic_plan_in_scale_queries(spark, qname):
     """Every headline dedup/similarity query must plan as equi joins.
