@@ -533,3 +533,67 @@ def stream_cms_probes(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_OUTPUT_SCHEMA = "group string, n_kept int, kth_hash long, kmv_est double"
+
+
+def stream_kmv_distinct(
+    values: DataFrame,
+    group_col: str = "source",
+    value_col: str = "v",
+    k: int = 256,
+) -> DataFrame:
+    """Streaming per-group KMV (bottom-k) distinct sketch via
+    applyInPandasWithState: state = the k smallest distinct hashes
+    seen so far (≤ 8k bytes/group — O(1) regardless of stream
+    volume). Emits (group, n_kept, kth_hash, kmv_est) every
+    micro-batch the group receives data; unlike the HLL registers the
+    retained state supports downstream SET OPERATIONS (union /
+    Jaccard, sketches.kmv_overlap) over feeds.
+
+    Bit-equality contract with the batch sketch: the bottom-k merge
+    is associative and deduplicating (sorted-unique arrays), the hash
+    is the same md5 projection (sketches.hash32 Spark-side), and the
+    estimator repeats kmv_distinct's single IEEE division — after the
+    final batch the stream's row per group equals
+    kmv_distinct(union of batches) EXACTLY (pinned by
+    test_streaming)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ctinexus_spark.operators.sketches import hash32
+
+    scale = float((k - 1) * (1 << 32))
+    prepped = values.select(
+        F.col(group_col).alias("group"), hash32(F.col(value_col)).alias("h")
+    )
+
+    def upd(key, pdfs, state):
+        hs = (
+            np.array(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.empty(0, dtype=np.int64)
+        )
+        for pdf in pdfs:
+            hs = np.unique(np.concatenate([hs, pdf["h"].to_numpy(np.int64)]))[:k]
+        state.update((hs.tolist(),))
+        n = int(hs.size)
+        kth = int(hs[k - 1]) if n >= k else -1
+        est = scale / float(kth) if n >= k else float(n)
+        return iter(
+            [
+                pd.DataFrame(
+                    [{"group": key[0], "n_kept": n, "kth_hash": kth, "kmv_est": est}]
+                )
+            ]
+        )
+
+    return prepped.groupBy("group").applyInPandasWithState(
+        upd,
+        KMV_OUTPUT_SCHEMA,
+        "hs array<long>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -586,3 +586,71 @@ def test_stream_cms_probes_matches_batch_sketch_exactly(spark, tmp_path):
                 sk.get((i, py_hash32(v, salt=i) % width), 0) for i in range(depth)
             )
             assert max(per_gv[(g, v)]) == want, (g, v)
+
+
+def test_stream_kmv_matches_batch_sketch_exactly(spark, tmp_path):
+    """Cross-batch streaming KMV == batch kmv_distinct over the union
+    of batches, BIT-EXACTLY: the bottom-k merge is associative and
+    deduplicating, and the estimator repeats the same IEEE division.
+    n_kept is monotone non-decreasing across batches."""
+    import time
+
+    from ctinexus_spark.operators.sketches import kmv_distinct
+    from ctinexus_spark.streaming.ingest import stream_kmv_distinct
+
+    k = 16
+    src = str(tmp_path / "vals")
+    schema = "source string, v string"
+    b1 = [("s1", f"val-{i}") for i in range(40)] + [("s2", f"x-{i}") for i in range(5)]
+    b2 = [("s1", f"val-{i}") for i in range(20, 70)] + [
+        ("s2", f"x-{i}") for i in range(5)
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_kmv_distinct(stream, "source", "v", k=k)
+        .writeStream.format("memory")
+        .queryName("kmv_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.sql("SELECT * FROM kmv_sink").collect()
+    per_group = {}
+    for r in emitted:
+        per_group.setdefault(r["group"], []).append(r)
+    assert set(per_group) == {"s1", "s2"}
+    assert all(len(rows) == 2 for rows in per_group.values())
+    # the later emission has MORE kept values (below k) or a SMALLER
+    # kth hash (saturated: the bottom-k only ever shrinks) — n_kept
+    # alone ties once the sketch is full
+    final = {
+        g: min(
+            rows,
+            key=lambda r: (
+                -r["n_kept"],
+                r["kth_hash"] if r["kth_hash"] != -1 else 1 << 33,
+            ),
+        )
+        for g, rows in per_group.items()
+    }
+    batch = {
+        r["group"]: r
+        for r in kmv_distinct(
+            spark.createDataFrame(b1 + b2, schema), "source", "v", k=k
+        ).collect()
+    }
+    for g in ("s1", "s2"):
+        assert final[g]["n_kept"] == batch[g]["n_kept"]
+        assert final[g]["kth_hash"] == batch[g]["kth_hash"]
+        assert final[g]["kmv_est"] == batch[g]["kmv_est"]  # bit-exact
+    # s2 has only 5 distinct values: exact path, sentinel kth
+    assert final["s2"]["kth_hash"] == -1 and final["s2"]["kmv_est"] == 5.0
