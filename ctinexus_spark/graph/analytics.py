@@ -217,6 +217,15 @@ def pagerank_pinned(
     )
     personalized = seeds is not None
     if personalized:
+        if not seeds:
+            raise ValueError("personalized pagerank requires a non-empty seed set")
+        # a seed set disjoint from the vertex universe makes the
+        # restart vector all-zero — every rank silently collapses to
+        # 0.0; fail loudly instead (one cheap action on the persisted
+        # vertex set)
+        if verts.filter(F.col("vertex").isin(list(seeds))).count() == 0:
+            verts.unpersist()
+            raise ValueError("no seed appears in the graph's vertex set")
         p_val = 1.0 / len(set(seeds))
         pv = F.when(F.col("vertex").isin(list(seeds)), F.lit(p_val)).otherwise(
             F.lit(0.0)
@@ -449,6 +458,11 @@ def bfs_distances(
             .join(visited.select("vertex"), "vertex", "left_anti")
             .withColumn("dist", F.lit(h).cast("int"))
         )
+        # the barrier just materialized nxt, so this count is a cheap
+        # metadata read — exhausted BFS (frontier empty) exits instead
+        # of paying the per-round barrier floor for dead rounds
+        if nxt.count() == 0:
+            break
         visited = visited.unionByName(nxt)
         frontier = nxt.select("vertex")
     return visited
@@ -534,6 +548,13 @@ def k_truss(
     per WITH RECURSIVE step over the working edge table. Raises on
     non-convergence (components.py precedent).
     """
+    if k < 3:
+        # support >= k-2 <= 0 holds for EVERY edge, but triangle-free
+        # edges are absent from the exploded support table and would be
+        # silently dropped — the <=2-truss is the whole graph, which
+        # this peel cannot represent. Refuse instead of returning a
+        # wrong subgraph.
+        raise ValueError(f"k_truss requires k >= 3 (got k={k})")
     cur = barrier(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))

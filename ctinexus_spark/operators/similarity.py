@@ -492,6 +492,7 @@ def mmr_rerank(
     candidates: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal-marginal-relevance diversified top-k: greedily pick k
     of the `candidates` highest-cosine neighbors per query, each pick
@@ -517,19 +518,30 @@ def mmr_rerank(
     Python and embedded (BM25 precedent); argmax = min(struct(−score,
     id)) — so (query_id, pick_rank, neighbor_id, mmr_score) hash-match
     the unrolled SQL twin exactly.
+
+    `scored` swaps the candidate source (the knn_label_vote `topk`
+    precedent): pass a precomputed (query_id, cid, rel) — e.g. cosines
+    from lsh_topk / ivf_topk candidates — and the brute
+    broadcast-scoring join and its per-query window are skipped
+    entirely; that is the production path when |q| is large or the
+    corpus-wide scan is too hot. The default brute scorer is the same
+    explicit-small-query-set shape as brute_force_topk(queries=...).
     """
     from ctinexus_spark.partitioning import barrier
 
     lam_f = float(lam)
     one_minus = 1.0 - lam_f  # embedded, never recomputed engine-side
 
-    q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    )
-    c = embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
-    scored = q.join(c, F.col("query_id") != F.col("cid")).select(
-        "query_id", "cid", cosine_expr("q_vec", "c_vec").alias("rel")
-    )
+    if scored is None:
+        q = F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            )
+        )
+        c = embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+        scored = q.join(c, F.col("query_id") != F.col("cid")).select(
+            "query_id", "cid", cosine_expr("q_vec", "c_vec").alias("rel")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cid"))
     cand_ids = (
         scored.withColumn("rk", F.row_number().over(w))

@@ -317,22 +317,33 @@ def kmv_min_k(
     is the bottom-k of their merged hash sets, so intersection /
     Jaccard estimates fall out of the same k values.
 
-    Two salted partial-aggregation stages instead of a per-group
-    window sort: per (group, h % salts) the k smallest collapse
-    map-side to a ≤k array; stage two takes the k smallest of the
-    ≤ salts·k survivors. Every aggregate ships bounded arrays — no
-    single-reducer-per-group sort at any group size."""
+    Two salted rank-filter stages: stage one ranks within each
+    (group, h % salts) cell — salts× parallelism, and the window's
+    SORT is disk-spillable at any cell size (a collect_list-then-slice
+    formulation would buffer the cell's every distinct hash in one
+    in-memory array: O(distinct/salts) per cell, not O(k)); stage two
+    ranks the ≤ salts·k survivors per group (bounded input by
+    construction — 16 384 rows at the defaults) and packs the k
+    winners into one sorted array, the only collect_list and it is
+    ≤ k elements."""
+    from pyspark.sql import Window
+
     d = values.select(
         F.col(group_col).alias("group"), hash32(F.col(value_col)).alias("h")
     ).distinct()
-    s1 = d.groupBy("group", (F.col("h") % salts).alias("_s")).agg(
-        F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("hs")
+    w1 = Window.partitionBy("group", F.col("h") % salts).orderBy("h")
+    s1 = (
+        d.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .select("group", "h")
     )
-    return (
-        s1.select("group", F.explode("hs").alias("h"))
-        .groupBy("group")
-        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("hs"))
+    w2 = Window.partitionBy("group").orderBy("h")
+    s2 = (
+        s1.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .select("group", "h")
     )
+    return s2.groupBy("group").agg(F.array_sort(F.collect_list("h")).alias("hs"))
 
 
 def kmv_distinct(

@@ -39,28 +39,38 @@ def asof_join(
     Determinism contract: right must be unique per (key, ts) — dedupe
     upstream (struct-max winner, the line_dedup pattern) — because the
     running carry takes "the" right row at each timestamp. Left rows
-    tie-break freely: they hold null payload, so their mutual order
-    cannot change any last(ignore_nulls) result; right rows sort
+    tie-break freely: they hold a null payload STRUCT, so their mutual
+    order cannot change any last(ignore_nulls) result; right rows sort
     before left rows at an equal timestamp (side 0 < 1), which
     implements the <= (inclusive) match.
+
+    The payload rides as ONE struct, not per-column carries: a struct
+    is non-null for every right row even when its fields are null, so
+    a null field in the matched row stays null instead of being
+    back-filled from an older right row (per-column last(ignore_nulls)
+    would stitch together fields from different rows).
 
     Scale shape: one union (no shuffle), one exchange on `key`, one
     within-partition sort, one window pass. Payload values are carried
     verbatim (no arithmetic), so float columns are trivially bit-exact
     cross-engine.
     """
+    from pyspark.sql import types as T
+
     left_cols = left.columns
     clash = set(left_cols) & set(payload)
     if clash:
         raise ValueError(f"payload columns collide with left columns: {clash}")
+    p_type = T.StructType([
+        T.StructField(c, right.schema[c].dataType) for c in payload
+    ])
     r_sel = [F.col(key), F.col(ts), F.lit(0).alias("_side")]
     r_sel += [F.lit(None).cast(left.schema[c].dataType).alias(c)
               for c in left_cols if c not in (key, ts)]
-    r_sel += [F.col(c) for c in payload]
+    r_sel += [F.struct(*[F.col(c) for c in payload]).alias("_p")]
     l_sel = [F.col(key), F.col(ts), F.lit(1).alias("_side")]
     l_sel += [F.col(c) for c in left_cols if c not in (key, ts)]
-    l_sel += [F.lit(None).cast(right.schema[c].dataType).alias(c)
-              for c in payload]
+    l_sel += [F.lit(None).cast(p_type).alias("_p")]
     u = right.select(*r_sel).unionByName(left.select(*l_sel))
     w = (
         Window.partitionBy(key)
@@ -68,15 +78,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
-        "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in payload
-        ],
+        "*", F.last(F.col("_p"), ignorenulls=True).over(w).alias("_c")
     )
     return carried.filter(F.col("_side") == 1).select(
         *[F.col(c) for c in left_cols],
-        *[F.col(f"_c_{c}").alias(c) for c in payload],
+        *[F.col(f"_c.{c}").alias(c) for c in payload],
     )
 
 
@@ -105,38 +111,39 @@ def interval_join(
     fan-out stays O(1) per interval and each bucket joins only
     time-local rows.
 
-    Integer epoch arithmetic throughout (unix_timestamp under the UTC
-    session zone == DuckDB epoch(), the event_leadlag precedent) —
-    outputs carrying epoch gaps are BIGINT, trivially hash-exact.
-    Points and intervals must share ONLY the key column name.
+    Bucket ids use second-truncated integer epochs (unix_timestamp
+    under the UTC session zone == DuckDB epoch(), the event_leadlag
+    precedent) — truncation is monotone, so a contained point's bucket
+    always falls inside the interval's bucket range; the exact range
+    filter compares the ORIGINAL timestamp columns (sub-second
+    precision preserved — a truncated-epoch filter would admit a point
+    0.9 s past a .5 s interval end). Points and intervals must share
+    ONLY the key column name.
     """
     clash = (set(points.columns) & set(intervals.columns)) - {key}
     if clash:
         raise ValueError(f"point/interval columns collide: {clash}")
-    p_ep = F.unix_timestamp(F.col(ts)).cast("bigint")
-    s_ep = F.unix_timestamp(F.col(start)).cast("bigint")
-    e_ep = F.unix_timestamp(F.col(end)).cast("bigint")
     w = int(bucket_seconds)
-    pts = points.withColumn("_ep", p_ep).withColumn(
-        "_b", F.floor(F.col("_ep") / w).cast("bigint")
+    pts = points.withColumn(
+        "_b", F.floor(F.unix_timestamp(F.col(ts)).cast("bigint") / w).cast("bigint")
     )
-    ivs = (
-        intervals.withColumn("_s", s_ep)
-        .withColumn("_e", e_ep)
-        .withColumn(
-            "_b",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col("_s") / w).cast("bigint"),
-                    F.floor(F.col("_e") / w).cast("bigint"),
-                )
-            ),
-        )
+    ivs = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start)).cast("bigint") / w).cast(
+                    "bigint"
+                ),
+                F.floor(F.unix_timestamp(F.col(end)).cast("bigint") / w).cast(
+                    "bigint"
+                ),
+            )
+        ),
     )
     return (
         pts.join(ivs, [key, "_b"])
-        .filter((F.col("_ep") >= F.col("_s")) & (F.col("_ep") <= F.col("_e")))
-        .drop("_b", "_ep", "_s", "_e")
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
+        .drop("_b")
     )
 
 

@@ -509,3 +509,37 @@ def test_k_truss_peels_to_clique(spark):
     assert all(s == 2 for s in out.values())
 
     assert k_truss(edges, k=5).count() == 0
+
+
+def test_k_truss_rejects_k_below_three(spark):
+    import pytest
+
+    from ctinexus_spark.graph.analytics import k_truss
+
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="k >= 3"):
+        k_truss(edges, k=2)
+
+
+def test_personalized_pagerank_seed_validation(spark):
+    """Empty seed sets and seed sets disjoint from the vertex universe
+    fail loudly instead of silently producing all-zero ranks."""
+    import pytest
+
+    from ctinexus_spark.graph.analytics import pagerank_pinned
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="non-empty"):
+        pagerank_pinned(edges, seeds=[])
+    with pytest.raises(ValueError, match="vertex set"):
+        pagerank_pinned(edges, seeds=[999])
+
+
+def test_bfs_exhausted_frontier_exits_early(spark):
+    """A hop budget far beyond the graph's diameter returns the same
+    distances (the early exit is semantics-invisible)."""
+    from ctinexus_spark.graph.analytics import bfs_distances
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    got = {r.vertex: r.dist for r in bfs_distances(edges, seeds=[1], hops=50).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}

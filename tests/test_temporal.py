@@ -181,3 +181,43 @@ def test_time_rollup_cascade_consistency(spark):
     assert set(got_hours) == set(want_hours)
     for k, (n, sv) in want_hours.items():
         assert got_hours[k][0] == n and abs(got_hours[k][1] - sv) < 1e-9
+
+
+def test_asof_join_null_payload_field_not_backfilled(spark):
+    """A NULL field in the matched right row must stay NULL — the
+    payload rides as one struct, so per-field carries cannot stitch
+    together values from different right rows."""
+    left = spark.createDataFrame(
+        [("A", _ts(20), 1)], "k string, ts_s string, lid bigint"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [("A", _ts(0), 50, 7.0), ("A", _ts(10), 100, None)],
+        "k string, ts_s string, rid bigint, rv double",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "rid", "rv")
+    out = asof_join(left, right, "k", "ts", ["rid", "rv"]).collect()
+    assert len(out) == 1
+    # the matched row is (rid=100, rv=NULL) — NOT (rid=100, rv=7.0)
+    assert (out[0].rid, out[0].rv) == (100, None)
+
+
+def test_interval_join_subsecond_bounds(spark):
+    """Sub-second timestamps: the range filter must use the original
+    timestamps, not second-truncated epochs — a point 0.4 s past the
+    interval end shares its truncated epoch but must NOT match."""
+    from ctinexus_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame(
+        [("A", "2026-01-01 00:00:00.900", 1), ("A", "2026-01-01 00:00:00.300", 2)],
+        "k string, ts_s string, pid bigint",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "pid")
+    ivs = spark.createDataFrame(
+        [("A", "2026-01-01 00:00:00.100", "2026-01-01 00:00:00.500", 100)],
+        "k string, s_s string, e_s string, iid bigint",
+    ).select(
+        "k",
+        F.col("s_s").cast("timestamp").alias("s"),
+        F.col("e_s").cast("timestamp").alias("e"),
+        "iid",
+    )
+    out = interval_join(pts, ivs, "k", "ts", "s", "e", bucket_seconds=60).collect()
+    assert [r.pid for r in out] == [2]
