@@ -70,6 +70,8 @@ CHANGED_THIS_ROUND = [
     "kmv_distinct",
     "kmv_overlap",
     "part_truss",
+    "jaccard_pairs",
+    "event_funnel",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

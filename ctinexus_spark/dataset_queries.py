@@ -3158,3 +3158,81 @@ def _bench_kg_global_entities(spark, sf_dir):
 # the two cross-document flagships a 100 TB user runs daily (round-4
 # verdict #6): global entity resolution and incremental crawl admission
 BENCH_QUERIES["kg_global_entities"] = _bench_kg_global_entities
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """EXACT all-pairs near-dup join (shingle Jaccard >= 1/2) via
+    prefix filtering — the deterministic sibling of the MinHash/LSH
+    funnel: no probabilistic recall loss, no bucket cap, yet never
+    O(n²) (candidates equi-join only on each doc's globally RAREST
+    shingles; PPJoin prefix principle, operators/dedup.py). The
+    oracle is the brute-force all-pairs intersection — an independent
+    algorithm — so the gate checks the prefix filter lost nothing.
+    Threshold stays integer on both engines ((p+q)·I >= p·(|A|+|B|));
+    jaccard is one IEEE division of integer-valued doubles."""
+    return D.jaccard_join_exact(_docs(spark, sf_dir), threshold=(1, 2))
+
+
+ORACLES["jaccard_pairs"] = f"""
+WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a_id, i.b_id, i.n_shared, ca.n AS n_a, cb.n AS n_b,
+       CAST(i.n_shared AS DOUBLE) / CAST(ca.n + cb.n - i.n_shared AS DOUBLE) AS jaccard
+FROM inter i
+JOIN cnt ca ON i.a_id = ca.doc_id
+JOIN cnt cb ON i.b_id = cb.doc_id
+WHERE 3 * i.n_shared >= 1 * (ca.n + cb.n)
+"""
+QUERIES["jaccard_pairs"] = q_jaccard_pairs
+
+
+def q_event_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase per user:
+    earliest completion time of each step strictly after the previous
+    one. Spark side is the single-shuffle fold (per-user sorted event
+    array + nested higher-order filters, operators/temporal.py); the
+    oracle is the k-stage join+agg cascade — two independent
+    formulations of the same recurrence. Epoch-micro BIGINTs with -1
+    sentinels (nullable-BIGINT pandas round-trip precedent)."""
+    from ctinexus_spark.operators.temporal import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, ["view", "click", "purchase"]).select(
+        "user_id",
+        F.col("t0").alias("t_view"),
+        F.col("t1").alias("t_click"),
+        F.col("t2").alias("t_purchase"),
+        "depth",
+    )
+
+
+ORACLES["event_funnel"] = """
+WITH s0 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t0
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t1
+  GROUP BY e.user_id
+)
+SELECT s0.user_id,
+       CAST(s0.t0 AS BIGINT) AS t_view,
+       CAST(coalesce(s1.t1, -1) AS BIGINT) AS t_click,
+       CAST(coalesce(s2.t2, -1) AS BIGINT) AS t_purchase,
+       CAST(1 + (s1.t1 IS NOT NULL)::INT + (s2.t2 IS NOT NULL)::INT AS INT) AS depth
+FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+"""
+QUERIES["event_funnel"] = q_event_funnel

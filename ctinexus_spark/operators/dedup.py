@@ -664,3 +664,103 @@ def embedding_near_dups_lsh(
         .select("a_id", "b_id", cosine_udf()(F.col("a_vec"), F.col("b_vec")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def jaccard_join_exact(
+    docs: DataFrame,
+    threshold: tuple[int, int] = (1, 2),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs set-similarity join via prefix filtering
+    (PPJoin-style), the deterministic sibling of the MinHash funnel.
+
+    Returns every pair with shingle-Jaccard >= p/q — no probabilistic
+    recall loss, no bucket cap. The prefix principle keeps it off the
+    O(n²) path: order each doc's distinct k-shingles by ascending
+    GLOBAL document frequency (ties by shingle value); two sets with
+    J >= t must share at least one token among each other's first
+    |s| - ceil(t·|s|) + 1 tokens, so candidate generation equi-joins
+    only on those prefix tokens — the globally RAREST ones — and adds
+    the length filter p·max(|A|,|B|) <= q·min(|A|,|B|). Verification
+    recounts the true intersection per candidate pair and applies the
+    integer test (p+q)·I >= p·(|A|+|B|)  ⟺  I/(|A|+|B|-I) >= p/q,
+    so the threshold never touches floats; the reported `jaccard` is a
+    single IEEE division of integer-valued doubles (bit-exact vs the
+    DuckDB brute-force twin).
+
+    Scale: one explode, two partial aggs (per-doc size, global df), a
+    per-doc window over bounded sets, an equi-join on rare prefix
+    tokens, and an equi-join verify — every stage shuffles on a key
+    with natural cardinality control. The frequency ordering is what
+    bounds join fan-out: a token appearing in d docs contributes at
+    most d prefix rows and only while it ranks inside the prefix,
+    which for hot tokens it does not.
+    """
+    p, q = threshold
+    if not (0 < p <= q):
+        raise ValueError(f"threshold must be a rational in (0,1], got {p}/{q}")
+    from ctinexus_spark.partitioning import ensure_parallelism
+    from pyspark.sql import Window
+
+    sh = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingle_col(text_col, k)).alias("shingle"),
+    )
+    sh = barrier(sh)  # consumed 3× below (df-freq, prefix, verify)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_tok"))
+    df_freq = sh.groupBy("shingle").agg(F.count("*").cast("bigint").alias("df"))
+    rk = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(df_freq, "shingle")
+        .withColumn("rk", F.row_number().over(rk))
+        .join(sizes, "doc_id")
+    )
+    # prefix length = n - ceil(p·n/q) + 1, all-integer arithmetic
+    ceil_pn_q = (F.lit(p) * F.col("n_tok") + F.lit(q - 1)).cast("bigint") / F.lit(q)
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n_tok") - F.floor(ceil_pn_q).cast("bigint") + F.lit(1)
+    ).select("doc_id", "shingle", "n_tok")
+    a = prefix.select(
+        F.col("doc_id").alias("a_id"), "shingle", F.col("n_tok").alias("n_a")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("b_id"), "shingle", F.col("n_tok").alias("n_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            # length filter: J >= p/q forces p·max <= q·min
+            & (F.lit(p) * F.greatest("n_a", "n_b") <= F.lit(q) * F.least("n_a", "n_b"))
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (
+        cand.join(sa, "a_id")
+        .join(sb, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_tok").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_tok").alias("n_b"))
+    return (
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
+        .filter(F.lit(p + q) * F.col("n_shared") >= F.lit(p) * (F.col("n_a") + F.col("n_b")))
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

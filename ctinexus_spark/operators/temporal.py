@@ -202,3 +202,74 @@ def time_rollup(
     return out(minute, "minute").unionByName(out(hour, "hour")).unionByName(
         out(day, "day")
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: per user, the earliest completion
+    time of each successive step, each strictly AFTER the previous
+    step's completion (the classic product-analytics operator;
+    `funnel(ev, ["view", "click", "purchase"])`).
+
+    Single-shuffle formulation: instead of k-1 join+agg rounds (one
+    per step), shuffle ONCE on the user, array_sort the per-user
+    event structs, and fold the step chain as nested JVM higher-order
+    functions — t_i = min ts among events of type steps[i] with
+    ts > t_{i-1}. Per-user state is the user's own event list, which
+    is bounded in any real event store (and spillable via the
+    preceding sort if not).
+
+    Output: one row per user that completed step 0 —
+    (user, t_0..t_{k-1} as epoch-micro BIGINT, -1 where the funnel
+    stopped, depth = number of steps completed). Sentinels, not NULLs:
+    nullable BIGINTs round-trip through pandas as float64 and break
+    hash comparison (event_asof_purchase precedent).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    evs = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.col(type_col).alias("etype"),
+            # parquet event ts is TIMESTAMP_NTZ; the session zone is
+            # pinned UTC (session.py) so the LTZ cast is identity and
+            # unix_micros == DuckDB epoch_us on the naive value
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("tus"),
+        )
+        .filter(F.col("etype").isin(list(steps)))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("tus", "etype"))).alias("evs"))
+    )
+    cols = [F.col("user_id")]
+    prev = None
+    out = evs
+    for i, step in enumerate(steps):
+        # min ts of this step's events strictly after the previous
+        # step's time; the array is tus-sorted so hit[0] IS the min
+        # closure factory, not default-arg lambdas: PySpark HOFs read
+        # the lambda arity (a 2nd arg means "element index")
+        def _cond(s: str, pv: str | None):
+            if pv is None:
+                return lambda e: e["etype"] == F.lit(s)
+            return lambda e: (e["etype"] == F.lit(s)) & (e["tus"] > F.col(pv))
+
+        hit = F.filter(F.col("evs"), _cond(step, prev))
+        if prev is None:
+            reached = F.size(hit) > 0
+        else:
+            # a dead funnel stays dead: prev = -1 blocks every later step
+            reached = (F.col(prev) >= 0) & (F.size(hit) > 0)
+        t_i = F.when(reached, F.element_at(hit, 1)["tus"]).otherwise(F.lit(-1)).cast("bigint")
+        out = out.withColumn(f"t{i}", t_i)
+        prev = f"t{i}"
+        cols.append(F.col(f"t{i}"))
+    depth = sum((F.col(f"t{i}") >= 0).cast("int") for i in range(len(steps)))
+    return (
+        out.filter(F.col("t0") >= 0)
+        .select(*cols, depth.alias("depth"))
+    )
