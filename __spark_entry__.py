@@ -72,6 +72,8 @@ CHANGED_THIS_ROUND = [
     "part_truss",
     "jaccard_pairs",
     "event_funnel",
+    "part_linkpred",
+    "cohort_retention",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

@@ -3236,3 +3236,89 @@ SELECT s0.user_id,
 FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
 """
 QUERIES["event_funnel"] = q_event_funnel
+
+
+def q_part_linkpred(spark, sf_dir):
+    """Common-neighbor link prediction over the part co-occurrence
+    graph restricted to parts < 300 (the part_truss subgraph):
+    non-adjacent pairs with >= 5 shared neighbors, scored by
+    neighborhood Jaccard — unsupervised KG-completion / recommendation
+    shape (graph/analytics.link_prediction: wedge enumeration →
+    partial-agg pair counts → LEFT ANTI vs the edge set; jaccard one
+    IEEE division of integer-valued doubles). 270 rows at sf0.01."""
+    from ctinexus_spark.graph.analytics import link_prediction
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(
+            (F.col("pa") < F.col("pb")) & (F.col("pa") < 300) & (F.col("pb") < 300)
+        )
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return link_prediction(edges, min_common=5)
+
+
+ORACLES["part_linkpred"] = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < 300 AND b.l_partkey < 300
+),
+und AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
+deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY x),
+wedges AS (
+  SELECT p.x AS u, r.x AS v, CAST(count(*) AS BIGINT) AS n_common
+  FROM und p JOIN und r ON p.y = r.y AND p.x < r.x
+  GROUP BY p.x, r.x HAVING count(*) >= 5
+),
+open_pairs AS (
+  SELECT w.* FROM wedges w LEFT JOIN e ON w.u = e.u AND w.v = e.v
+  WHERE e.u IS NULL
+)
+SELECT o.u AS a, o.v AS b, o.n_common, da.d AS deg_a, db.d AS deg_b,
+       CAST(o.n_common AS DOUBLE) / CAST(da.d + db.d - o.n_common AS DOUBLE) AS jaccard
+FROM open_pairs o JOIN deg da ON o.u = da.x JOIN deg db ON o.v = db.x
+"""
+QUERIES["part_linkpred"] = q_part_linkpred
+
+
+def q_cohort_retention(spark, sf_dir):
+    """DAILY cohort retention triangle over the events table: users
+    bucketed by first-event day, per-offset active fraction — the
+    growth-analytics standard (operators/temporal.cohort_retention).
+    Daily, not weekly: the sf corpora span 30 days of always-on users,
+    so weekly cells are all 1.0 — daily gives a real 59-cell triangle
+    (n_active 13-134 at sf0.01). Bucket index = exact BIGINT `div` of
+    epoch-micros on BOTH engines (no double rounding at bucket edges);
+    retention one IEEE division of integer-valued doubles."""
+    from ctinexus_spark.operators.temporal import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev, bucket_seconds=86_400)
+
+
+ORACLES["cohort_retention"] = """
+WITH ev AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS bk FROM events
+),
+first AS (SELECT user_id, min(bk) AS cohort_bucket FROM ev GROUP BY user_id),
+cells AS (
+  SELECT f.cohort_bucket, ev.bk - f.cohort_bucket AS bucket_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM ev JOIN first f USING (user_id)
+  GROUP BY f.cohort_bucket, ev.bk - f.cohort_bucket
+),
+sz AS (SELECT cohort_bucket, CAST(count(*) AS BIGINT) AS cohort_size FROM first GROUP BY cohort_bucket)
+SELECT c.cohort_bucket, CAST(c.bucket_offset AS BIGINT) AS bucket_offset,
+       c.n_active, sz.cohort_size,
+       CAST(c.n_active AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE) AS retention
+FROM cells c JOIN sz USING (cohort_bucket)
+"""
+QUERIES["cohort_retention"] = q_cohort_retention

@@ -593,3 +593,74 @@ def k_truss(
     raise RuntimeError(
         f"k_truss did not converge within {max_iterations} peel rounds"
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_degree: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Common-neighbor link prediction: for every NON-adjacent vertex
+    pair with >= min_common shared neighbors, (a, b, n_common, deg_a,
+    deg_b, jaccard) where jaccard = |Γa∩Γb| / |Γa∪Γb| — the classic
+    unsupervised who-should-be-connected score (recommendations,
+    KG completion, record-linkage blocking).
+
+    Dataflow: wedge enumeration (und ⋈ und on the center vertex) →
+    partial-agg count per endpoint pair → LEFT ANTI join against the
+    canonical edge set → degree attach. Every stage is an equi-join /
+    partial agg. The wedge join is inherently Σd(v)² — the wedge count
+    IS the signal, so unlike triangle counting it cannot be oriented
+    away; `max_degree` drops super-hub centers first (a hub's wedges
+    carry no information — it connects everything to everything, and
+    at web scale it is also the skew bomb), the standard LP mitigation.
+
+    jaccard is one IEEE division of exact integer-valued doubles
+    (|Γa∪Γb| = deg_a + deg_b − n_common) — engine bit-exact.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    canon = e.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    und = canon.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
+        canon.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    deg = und.groupBy("x").agg(F.count("*").cast("bigint").alias("d"))
+    if max_degree is not None:
+        centers = deg.filter(F.col("d") <= max_degree).select(
+            F.col("x").alias("c")
+        )
+        wedge_src = und.join(centers, und["y"] == centers["c"]).select("x", "y")
+    else:
+        wedge_src = und
+    und_b = barrier(wedge_src)
+    wedges = (
+        und_b.select(F.col("y").alias("c"), F.col("x").alias("u"))
+        .join(und_b.select(F.col("y").alias("c"), F.col("x").alias("v")), "c")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    open_pairs = wedges.join(canon, ["u", "v"], "left_anti")
+    da = deg.select(F.col("x").alias("u"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("x").alias("v"), F.col("d").alias("deg_b"))
+    return (
+        open_pairs.join(da, "u")
+        .join(db, "v")
+        .select(
+            F.col("u").alias("a"),
+            F.col("v").alias("b"),
+            "n_common",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -273,3 +273,50 @@ def funnel(
         out.filter(F.col("t0") >= 0)
         .select(*cols, depth.alias("depth"))
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_seconds: int = 604_800,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the time bucket of
+    their FIRST event (the cohort), then for each later bucket the
+    fraction still active — the standard growth-analytics triangle
+    (cohort_bucket, bucket_offset, n_active, cohort_size, retention).
+
+    Dataflow: bucket index = integer floor-division of epoch-micros
+    (exact BIGINT `div` on both engines — no double rounding at bucket
+    boundaries); first-touch per user = one partial-agg min; activity
+    = distinct (user, bucket); one equi-join on the user attaches the
+    cohort; counts are plain aggs because (user, bucket) is already
+    unique. retention = one IEEE division of integer-valued doubles —
+    engine bit-exact.
+    """
+    w = bucket_seconds * 1_000_000
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {w}").alias("bk"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("bk").alias("cohort_bucket"))
+    act = ev.distinct()
+    per_cell = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_bucket", (F.col("bk") - F.col("cohort_bucket")).alias("bucket_offset")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_bucket").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    return per_cell.join(sizes, "cohort_bucket").select(
+        "cohort_bucket",
+        "bucket_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias(
+            "retention"
+        ),
+    )

@@ -1,0 +1,103 @@
+"""Property tests: link_prediction vs a brute adjacency-set reference
+(including the max_degree hub cap) and cohort_retention vs a Python
+fold — adversarial shapes the sf corpora don't contain."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+import random
+
+from ctinexus_spark.graph.analytics import link_prediction
+from ctinexus_spark.operators.temporal import cohort_retention
+
+
+def _brute_lp(edges, min_common, max_degree=None):
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {}
+    for a, b in itertools.combinations(sorted(adj), 2):
+        if b in adj[a]:
+            continue
+        common = adj[a] & adj[b]
+        if max_degree is not None:
+            common = {c for c in common if len(adj[c]) <= max_degree}
+        if len(common) >= min_common:
+            out[(a, b)] = (len(common), len(adj[a]), len(adj[b]))
+    return out
+
+
+def _rand_edges(rng, n, m):
+    es = set()
+    while len(es) < m:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            es.add((min(u, v), max(u, v)))
+    return sorted(es)
+
+
+def test_link_prediction_matches_brute(spark):
+    rng = random.Random(3)
+    edges = _rand_edges(rng, 40, 140)
+    sdf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r.a, r.b): (r.n_common, r.deg_a, r.deg_b)
+        for r in link_prediction(sdf, min_common=2).collect()
+    }
+    assert got == _brute_lp(edges, 2)
+    # every returned pair must be non-adjacent
+    eset = set(edges)
+    assert all(p not in eset for p in got)
+
+
+def test_link_prediction_hub_cap(spark):
+    """A super-hub center contributes no wedges under max_degree, but
+    true degrees still feed jaccard."""
+    rng = random.Random(9)
+    edges = _rand_edges(rng, 30, 70)
+    hub = 99
+    edges = sorted(set(edges) | {(i, hub) for i in range(30)})
+    sdf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r.a, r.b): (r.n_common, r.deg_a, r.deg_b)
+        for r in link_prediction(sdf, min_common=1, max_degree=10).collect()
+    }
+    assert got == _brute_lp(edges, 1, max_degree=10)
+    # the hub connects everyone: without the cap every non-edge pair
+    # would have n_common >= 1 via the hub; with it, some pairs vanish
+    assert len(got) < len(_brute_lp(edges, 1))
+
+
+def test_cohort_retention_matches_brute(spark):
+    rng = random.Random(5)
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    for u in range(40):
+        for _ in range(rng.randint(1, 12)):
+            rows.append((f"u{u}", base + dt.timedelta(hours=rng.randrange(24 * 70))))
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r.cohort_bucket, r.bucket_offset): (r.n_active, r.cohort_size)
+        for r in cohort_retention(ev).collect()
+    }
+    wk = 604_800 * 1_000_000
+    buckets: dict[str, set[int]] = {}
+    for u, ts in rows:
+        buckets.setdefault(u, set()).add(int(ts.timestamp() * 1_000_000) // wk)
+    first = {u: min(bks) for u, bks in buckets.items()}
+    sizes: dict[int, int] = {}
+    for u, f in first.items():
+        sizes[f] = sizes.get(f, 0) + 1
+    want: dict[tuple[int, int], list[int]] = {}
+    for u, bks in buckets.items():
+        for b in bks:
+            key = (first[u], b - first[u])
+            want.setdefault(key, [0, 0])[0] += 1
+    want2 = {k: (v[0], sizes[k[0]]) for k, v in want.items()}
+    assert got == want2
+    # offset 0 is always full retention
+    assert all(
+        got[(c, o)][0] == got[(c, o)][1] for (c, o) in got if o == 0
+    )
