@@ -74,6 +74,7 @@ CHANGED_THIS_ROUND = [
     "event_funnel",
     "part_linkpred",
     "cohort_retention",
+    "part_sssp",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

@@ -3322,3 +3322,51 @@ SELECT c.cohort_bucket, CAST(c.bucket_offset AS BIGINT) AS bucket_offset,
 FROM cells c JOIN sz USING (cohort_bucket)
 """
 QUERIES["cohort_retention"] = q_cohort_retention
+
+
+def q_part_sssp(spark, sf_dir):
+    """Cheapest routes through the supplier↔part shipment graph:
+    bounded-hop weighted shortest paths from supplier s1, edge weight
+    = min shipped quantity per (supplier, part) — 4 Bellman-Ford
+    relaxation rounds (graph/analytics.sssp; the graph's diameter from
+    s1 is 3, the 4th round still relaxes costs). Integer BIGINT
+    distances — hash-exact; oracle is the same recurrence unrolled."""
+    from ctinexus_spark.graph.analytics import sssp
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        li.groupBy(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        .agg(F.min("l_quantity").cast("bigint").alias("weight"))
+    )
+    return sssp(edges, seeds=["s1"], max_hops=4)
+
+
+def _sssp_sql(rounds: int, seed: str) -> str:
+    parts = [
+        """e AS (
+  SELECT 's' || l_suppkey AS a, 'p' || l_partkey AS b,
+         CAST(min(l_quantity) AS BIGINT) AS w
+  FROM lineitem GROUP BY 's' || l_suppkey, 'p' || l_partkey
+),
+und AS (SELECT a AS x, b AS y, w FROM e UNION ALL SELECT b AS x, a AS y, w FROM e),
+d0 AS (SELECT '%s' AS v, CAST(0 AS BIGINT) AS dist)"""
+        % seed
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS (
+  SELECT v, min(dist) AS dist FROM (
+    SELECT v, dist FROM d{r - 1}
+    UNION ALL
+    SELECT u.y AS v, d.dist + u.w AS dist FROM d{r - 1} d JOIN und u ON d.v = u.x
+  ) GROUP BY v
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT v, dist FROM d{rounds}"
+
+
+ORACLES["part_sssp"] = _sssp_sql(rounds=4, seed="s1")
+QUERIES["part_sssp"] = q_part_sssp

@@ -664,3 +664,65 @@ def link_prediction(
             ).alias("jaccard"),
         )
     )
+
+
+def sssp(
+    edges: DataFrame,
+    seeds: list,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Bounded-hop weighted shortest paths (Bellman-Ford rounds):
+    (vertex, dist) = the minimum total edge weight over undirected
+    paths of <= max_hops hops from any seed — cheapest-route /
+    proximity queries on weighted graphs (the additive-cost sibling of
+    bfs_distances' hop counts).
+
+    Each round relaxes EVERY labeled vertex through one more edge:
+    dist_{r} = min(dist_{r-1}, min over edges (dist_{r-1}(u) + w)) —
+    one equi-join + one partial-agg min per round, no driver-side
+    vertex state; the doubled edge table is barriered once before the
+    loop (lazy per-round re-derivation re-scans the source every
+    round — the LPA/pagerank precedent) and each round's frontier is
+    barriered (it feeds the next round twice: union + join).
+
+    The fixed round count is the oracle contract (same recurrence
+    unrolled in SQL); weights must be integers for cross-engine
+    bit-exactness — sums stay BIGINT, no float accumulation. Unlike
+    the priority-queue Dijkstra this has no sequential bottleneck:
+    every round is a bulk relaxation, the textbook BSP formulation.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    if not seeds:
+        raise ValueError("sssp needs at least one seed")
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"), F.col(weight).cast("bigint").alias("w")
+    ).filter(F.col("a") != F.col("b"))
+    und = barrier(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y"), "w").unionByName(
+            e.select(F.col("b").alias("x"), F.col("a").alias("y"), "w")
+        )
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(s, 0) for s in seeds], ["v", "dist"]
+    ).select("v", F.col("dist").cast("bigint").alias("dist"))
+    # seeds must exist in the graph — a typo'd seed would silently
+    # report only itself at dist 0
+    present = und.select(F.col("x").alias("v")).distinct().join(
+        dist.select("v"), "v"
+    ).count()
+    if present < len(set(seeds)):
+        raise ValueError("some seeds are not vertices of the edge set")
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(und, dist["v"] == und["x"])
+            .select(F.col("y").alias("v"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = barrier(
+            dist.unionByName(relaxed).groupBy("v").agg(F.min("dist").alias("dist"))
+        )
+    return dist.select("v", "dist")

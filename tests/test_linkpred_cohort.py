@@ -101,3 +101,29 @@ def test_cohort_retention_matches_brute(spark):
     assert all(
         got[(c, o)][0] == got[(c, o)][1] for (c, o) in got if o == 0
     )
+
+
+def test_sssp_matches_brute_bellman_ford(spark):
+    import pytest
+
+    from ctinexus_spark.graph.analytics import sssp
+
+    rng = random.Random(13)
+    edges = [(u, v, rng.randint(1, 9)) for u, v in _rand_edges(rng, 25, 60)]
+    sdf = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    for hops in (1, 3):
+        got = {r.v: r.dist for r in sssp(sdf, seeds=[0, 7], max_hops=hops).collect()}
+        # brute: hop-bounded Bellman-Ford rounds
+        dist = {0: 0, 7: 0}
+        for _ in range(hops):
+            nxt = dict(dist)
+            for u, v, w in edges:
+                for a, b in ((u, v), (v, u)):
+                    if a in dist and dist[a] + w < nxt.get(b, 1 << 60):
+                        nxt[b] = dist[a] + w
+            dist = nxt
+        assert got == dist
+    with pytest.raises(ValueError):
+        sssp(sdf, seeds=[99999], max_hops=1).collect()
+    with pytest.raises(ValueError):
+        sssp(sdf, seeds=[], max_hops=1)
