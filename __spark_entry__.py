@@ -75,6 +75,7 @@ CHANGED_THIS_ROUND = [
     "part_linkpred",
     "cohort_retention",
     "part_sssp",
+    "hybrid_topk",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

@@ -3370,3 +3370,122 @@ d0 AS (SELECT '%s' AS v, CAST(0 AS BIGINT) AS dist)"""
 
 ORACLES["part_sssp"] = _sssp_sql(rounds=4, seed="s1")
 QUERIES["part_sssp"] = q_part_sssp
+
+
+def q_hybrid_topk(spark, sf_dir):
+    """Hybrid more-like-this retrieval for 8 query documents: lexical
+    BM25 (query terms = the doc's 5 globally-RAREST 3-grams — the MLT
+    'interesting terms' heuristic) top-20 fused with dense cosine
+    top-20 by reciprocal-rank fusion (retrieval.rrf_fuse; 1/(60+r),
+    missing side contributes 0, score a fixed left-to-right chain of
+    IEEE divisions — engine bit-exact). The production hybrid-search
+    shape: two independent retrievers, provenance-preserving fusion."""
+    from pyspark.sql import Window
+    from ctinexus_spark.operators import retrieval as R
+    from ctinexus_spark.operators import similarity as S
+    from ctinexus_spark.partitioning import barrier, ensure_parallelism
+
+    docs = ensure_parallelism(_docs(spark, sf_dir))
+    doc_terms = barrier(R.ngram_terms(docs, n=3))
+    ddt = doc_terms.distinct()
+    dfreq = ddt.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "term")
+    qterms = (
+        ddt.filter(F.col("doc_id") < 8)
+        .join(dfreq, "term")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    lex = R.bm25_topk(
+        doc_terms, barrier(qterms), k1=_BM25_K1, b=_BM25_B, k=20, idf="rational"
+    )
+    emb = _emb(spark, sf_dir)
+    dense = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=20)
+    return R.rrf_fuse(
+        [
+            lex.select("query_id", "doc_id", "rank"),
+            dense.select("query_id", F.col("neighbor_id").alias("doc_id"), "rank"),
+        ],
+        names=["lex", "dense"],
+        rrf_k=60,
+        topk=10,
+    )
+
+
+ORACLES["hybrid_topk"] = f"""
+WITH {_BM25_DT_CTES},
+ddt AS (SELECT DISTINCT doc_id, term FROM dt),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ddt GROUP BY term),
+qt AS (
+  SELECT doc_id AS query_id, term FROM (
+    SELECT d.doc_id, d.term,
+           row_number() OVER (PARTITION BY d.doc_id ORDER BY f.df, d.term) AS rk
+    FROM ddt d JOIN dfreq f USING (term) WHERE d.doc_id < 8
+  ) WHERE rk <= 5
+),
+tf AS (
+  SELECT dt.doc_id, dt.term, CAST(count(*) AS BIGINT) AS tf
+  FROM dt JOIN (SELECT DISTINCT term FROM qt) v USING (term)
+  GROUP BY dt.doc_id, dt.term
+),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM dt GROUP BY doc_id),
+sc AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+ct AS (
+  SELECT qt.query_id, tf.doc_id, tf.term,
+         (((sc.n_docs - CAST(dft.df AS DOUBLE)) + 0.5::DOUBLE)
+            / (CAST(dft.df AS DOUBLE) + 0.5::DOUBLE))
+           * (CAST(tf.tf AS DOUBLE) * {_BM25_K1P1!r}::DOUBLE)
+           / (CAST(tf.tf AS DOUBLE)
+              + {_BM25_K1!r}::DOUBLE
+                * ({_BM25_1MB!r}::DOUBLE
+                   + {_BM25_B!r}::DOUBLE
+                     * (CAST(dl.dl AS DOUBLE) / sc.avgdl))) AS contrib
+  FROM tf
+  JOIN dft USING (term)
+  JOIN qt USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN sc
+),
+pd AS (
+  SELECT query_id, doc_id,
+         list_sum(list(contrib ORDER BY term)) AS score
+  FROM ct GROUP BY query_id, doc_id
+),
+lex AS (
+  SELECT query_id, doc_id, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM pd QUALIFY rank <= 20
+),
+dn AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                    c.vec_id) AS INT) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 8
+  QUALIFY rank <= 20
+),
+fused AS (
+  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         CAST(coalesce(l.rank, -1) AS INT) AS rank_lex,
+         CAST(coalesce(d.rank, -1) AS INT) AS rank_dense,
+         coalesce(1.0::DOUBLE / CAST(60 + l.rank AS DOUBLE), 0.0::DOUBLE)
+           + coalesce(1.0::DOUBLE / CAST(60 + d.rank AS DOUBLE), 0.0::DOUBLE) AS rrf_score
+  FROM lex l FULL OUTER JOIN dn d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, rank_lex, rank_dense, rrf_score,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+FROM fused
+QUALIFY rank <= 10
+"""
+QUERIES["hybrid_topk"] = q_hybrid_topk

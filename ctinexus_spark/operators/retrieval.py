@@ -157,3 +157,60 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "n_hit", "score", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    names: list[str],
+    rrf_k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranking tables — the standard
+    hybrid-retrieval combiner (lexical BM25 + dense ANN, or any mix):
+    rrf(d) = Σ_i 1/(rrf_k + rank_i(d)), missing entries contribute 0.
+
+    Each input must be (query_id, doc_id, rank). Inputs fold through
+    sequential FULL OUTER equi-joins on (query_id, doc_id) — top-k
+    ranking tables are tiny relative to the corpora that produced
+    them, so the fusion joins are never the scale bottleneck (the
+    retrievers are), and the join keeps per-retriever ranks as
+    columns (rank_<name>, -1 sentinel) instead of a union+sum, which
+    both preserves provenance and fixes the float-addition order:
+    the score is one left-to-right chain of coalesced IEEE divisions,
+    bit-reproducible across engines for N inputs (a groupBy-sum would
+    be shuffle-order dependent at N > 2).
+
+    Output: (query_id, doc_id, rank_<name>..., rrf_score, rank) with
+    rank = row_number by (rrf_score DESC, doc_id), cut at `topk`.
+    """
+    if len(rankings) != len(names) or not rankings:
+        raise ValueError("rankings and names must be equal-length, non-empty")
+    fused = None
+    for r, nm in zip(rankings, names):
+        ri = r.select(
+            "query_id", "doc_id", F.col("rank").alias(f"rank_{nm}")
+        )
+        fused = ri if fused is None else fused.join(
+            ri, ["query_id", "doc_id"], "full_outer"
+        )
+    score = None
+    for nm in names:
+        c = F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col(f"rank_{nm}")).cast("double"),
+            F.lit(0.0),
+        )
+        score = c if score is None else score + c
+    out = fused.select(
+        "query_id",
+        "doc_id",
+        *[
+            F.coalesce(F.col(f"rank_{nm}"), F.lit(-1)).cast("int").alias(f"rank_{nm}")
+            for nm in names
+        ],
+        score.alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    out = out.withColumn("rank", F.row_number().over(w).cast("int"))
+    if topk is not None:
+        out = out.filter(F.col("rank") <= topk)
+    return out

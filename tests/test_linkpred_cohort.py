@@ -127,3 +127,29 @@ def test_sssp_matches_brute_bellman_ford(spark):
         sssp(sdf, seeds=[99999], max_hops=1).collect()
     with pytest.raises(ValueError):
         sssp(sdf, seeds=[], max_hops=1)
+
+
+def test_rrf_fuse_semantics(spark):
+    import pytest
+
+    from ctinexus_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)], ["query_id", "doc_id", "rank"]
+    )
+    dense = spark.createDataFrame(
+        [("q", 2, 1), ("q", 4, 2)], ["query_id", "doc_id", "rank"]
+    )
+    out = {r.doc_id: r for r in rrf_fuse([lex, dense], ["lex", "dense"]).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 2 is in both: 1/62 + 1/61; doc 4 dense-only: 1/62 + 0
+    assert out[2].rrf_score == 1.0 / 62 + 1.0 / 61
+    assert out[4].rrf_score == 1.0 / 62
+    assert (out[4].rank_lex, out[4].rank_dense) == (-1, 2)
+    assert out[2].rank == 1  # both-retriever doc wins
+    # three-retriever chain keeps fixed addition order (smoke)
+    third = spark.createDataFrame([("q", 1, 1)], ["query_id", "doc_id", "rank"])
+    out3 = {r.doc_id: r.rrf_score for r in rrf_fuse([lex, dense, third], ["a", "b", "c"]).collect()}
+    assert out3[1] == (1.0 / 61 + 0.0) + 1.0 / 61
+    with pytest.raises(ValueError):
+        rrf_fuse([lex], ["a", "b"])

@@ -60,7 +60,7 @@ QUADRATIC_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
      "part_reach", "part_clustering", "source_drift",
      "event_asof_purchase", "click_attribution", "kmv_distinct",
      "part_truss", "jaccard_pairs", "event_funnel", "part_linkpred",
-     "cohort_retention", "part_sssp"],
+     "cohort_retention", "part_sssp", "hybrid_topk"],
 )
 def test_no_quadratic_plan_in_scale_queries(spark, qname):
     """Every headline dedup/similarity query must plan as equi joins.
@@ -85,6 +85,11 @@ def test_no_quadratic_plan_in_scale_queries(spark, qname):
         # corpus total N attaches at the contribution terms AND the
         # final ratio — two keyless one-row builds
         "source_drift": 2,
+        # BM25's keyless corpus-scalar attach + the dense side's
+        # broadcast-QUERY-set non-equi scan (8 rows × corpus — the
+        # intended O(|q|·n) shape, asserted correct by
+        # test_ann_broadcasts_query_side)
+        "hybrid_topk": 2,
     }
 
     plan = plan_of(dq.QUERIES[qname](spark, SF))
