@@ -3489,3 +3489,11 @@ FROM fused
 QUALIFY rank <= 10
 """
 QUERIES["hybrid_topk"] = q_hybrid_topk
+
+
+# round-5 late bench additions: the EXACT (prefix-filter) near-dup
+# join — the deterministic sibling of the MinHash funnel — the hybrid
+# BM25+dense RRF retrieval, and the single-shuffle conversion funnel
+BENCH_QUERIES["dedup_exact_jaccard"] = q_jaccard_pairs
+BENCH_QUERIES["retrieval_hybrid"] = q_hybrid_topk
+BENCH_QUERIES["temporal_funnel"] = q_event_funnel
