@@ -76,6 +76,8 @@ CHANGED_THIS_ROUND = [
     "cohort_retention",
     "part_sssp",
     "hybrid_topk",
+    "event_bursts",
+    "part_walks",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

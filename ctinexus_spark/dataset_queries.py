@@ -3497,3 +3497,109 @@ QUERIES["hybrid_topk"] = q_hybrid_topk
 BENCH_QUERIES["dedup_exact_jaccard"] = q_jaccard_pairs
 BENCH_QUERIES["retrieval_hybrid"] = q_hybrid_topk
 BENCH_QUERIES["temporal_funnel"] = q_event_funnel
+
+
+def q_event_bursts(spark, sf_dir):
+    """Daily per-event-type burst flags: |c − μ| > 2σ in EXACT integer
+    arithmetic — q²·(n·c−S)² > p²·(n·SS−S²), no sqrt, no float
+    accumulation (operators/stats.burst_detection). dev_sq_ratio (the
+    squared z-score) is one IEEE division of integer-valued doubles.
+    ~150 daily cells at sf0.01, a handful flagged."""
+    from ctinexus_spark.operators.stats import burst_detection
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return burst_detection(ev)
+
+
+ORACLES["event_bursts"] = """
+WITH counts AS (
+  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000
+),
+m AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS s,
+         CAST(sum(cnt * cnt) AS BIGINT) AS ss
+  FROM counts GROUP BY key
+)
+SELECT c.key AS event_type, CAST(c.bucket AS BIGINT) AS bucket, c.cnt, m.n,
+       CASE WHEN m.n * m.ss - m.s * m.s > 0
+            THEN CAST((m.n * c.cnt - m.s) * (m.n * c.cnt - m.s) AS DOUBLE)
+                   / CAST(m.n * m.ss - m.s * m.s AS DOUBLE)
+            ELSE 0.0::DOUBLE END AS dev_sq_ratio,
+       1 * (m.n * c.cnt - m.s) * (m.n * c.cnt - m.s)
+         > 4 * (m.n * m.ss - m.s * m.s) AS is_burst
+FROM counts c JOIN m USING (key)
+"""
+QUERIES["event_bursts"] = q_event_bursts
+
+
+def q_part_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus over the part co-occurrence
+    graph (parts < 300): 2 hash-driven uniform walks of length 4 from
+    every vertex (graph/analytics.random_walks). Hash-driven ⇒ the
+    sampled corpus is reproducible across runs/partitionings/engines;
+    the oracle replays the identical walks step by step."""
+    from ctinexus_spark.graph.analytics import random_walks
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(
+            (F.col("pa") < F.col("pb")) & (F.col("pa") < 300) & (F.col("pb") < 300)
+        )
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return random_walks(edges, walks_per_vertex=2, length=4, seed=7)
+
+
+def _walks_sql(wpv: int, length: int, seed: int) -> str:
+    def pick(step: int) -> str:
+        key = (
+            f"'{seed}|' || CAST(s.start AS VARCHAR) || '|' || "
+            f"CAST(s.walk AS VARCHAR) || '|{step}|' || CAST(s.v AS VARCHAR)"
+        )
+        return _hex32_sql(key)
+
+    parts = [
+        """e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < 300 AND b.l_partkey < 300
+),
+und AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
+adj AS (
+  SELECT x, y, CAST(row_number() OVER (PARTITION BY x ORDER BY y) - 1 AS BIGINT) AS idx
+  FROM und
+),
+deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY x),
+s0 AS (
+  SELECT x AS start, CAST(w AS BIGINT) AS walk, x AS v
+  FROM (SELECT DISTINCT x FROM und), range(0, %d) r(w)
+)"""
+        % wpv
+    ]
+    for t in range(1, length + 1):
+        parts.append(
+            f"""s{t} AS (
+  SELECT s.start, s.walk, a.y AS v
+  FROM s{t - 1} s
+  JOIN deg ON s.v = deg.x
+  JOIN adj a ON a.x = s.v AND a.idx = ({pick(t)}) %% deg.d
+)""".replace("%%", "%")
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT start, walk, CAST({t} AS INT) AS step, v AS vertex FROM s{t}"
+        for t in range(0, length + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+ORACLES["part_walks"] = _walks_sql(wpv=2, length=4, seed=7)
+QUERIES["part_walks"] = q_part_walks

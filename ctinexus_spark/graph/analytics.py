@@ -726,3 +726,96 @@ def sssp(
             dist.unionByName(relaxed).groupBy("v").agg(F.min("dist").alias("dist"))
         )
     return dist.select("v", "dist")
+
+
+def random_walks(
+    edges: DataFrame,
+    walks_per_vertex: int = 2,
+    length: int = 4,
+    seed: int = 7,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic uniform random walks — the DeepWalk/node2vec
+    corpus generator: `walks_per_vertex` walks of `length` steps from
+    every vertex, where step t moves to
+        neighbors(v)[ hash32(f"{seed}|{start}|{walk}|{t}|{v}") mod deg(v) ]
+    with neighbors indexed 0..d−1 in ascending order. Hash-driven, not
+    RNG-driven: walks are reproducible across runs, partitionings and
+    engines (hash32 = first 8 md5 hex chars, the sketches.py idiom),
+    which makes the sampled corpus itself testable — the DuckDB twin
+    replays identical walks.
+
+    Dataflow: the indexed adjacency (row_number over per-vertex sorted
+    neighbors) and degree table are built once and barriered; each
+    step is one equi-join on the current vertex + one equi-join on
+    (vertex, picked index) — no driver state, no RNG sync. Walk count
+    scales with vertices, step count is the fixed `length`: the
+    standard BSP walk-sampling shape.
+
+    Output: (start, walk, step, vertex) for steps 0..length.
+    """
+    if length < 1 or walks_per_vertex < 1:
+        raise ValueError("length and walks_per_vertex must be >= 1")
+    from ctinexus_spark.operators.sketches import hash32
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    canon = e.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    und = canon.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
+        canon.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    from pyspark.sql import Window
+
+    adj = barrier(
+        und.withColumn(
+            "idx",
+            (F.row_number().over(Window.partitionBy("x").orderBy("y")) - 1).cast(
+                "bigint"
+            ),
+        )
+    )
+    deg = barrier(und.groupBy("x").agg(F.count("*").cast("bigint").alias("d")))
+    cur = (
+        und.select(F.col("x").alias("start"))
+        .distinct()
+        .select(
+            "start",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"), F.lit(walks_per_vertex - 1).cast("bigint")
+                )
+            ).alias("walk"),
+        )
+        .select("start", "walk", F.col("start").alias("vertex"))
+    )
+    frames = [cur.select("start", "walk", F.lit(0).cast("int").alias("step"), "vertex")]
+    for t in range(1, length + 1):
+        key = F.concat_ws(
+            "|",
+            F.lit(str(seed)),
+            F.col("start"),
+            F.col("walk"),
+            F.lit(str(t)),
+            F.col("vertex"),
+        )
+        picked = (
+            cur.join(deg, cur["vertex"] == deg["x"])
+            .select("start", "walk", "vertex", (hash32(key) % F.col("d")).alias("pick"))
+        )
+        cur = barrier(
+            picked.join(
+                adj,
+                (picked["vertex"] == adj["x"]) & (picked["pick"] == adj["idx"]),
+            ).select("start", "walk", F.col("y").alias("vertex"))
+        )
+        frames.append(
+            cur.select("start", "walk", F.lit(t).cast("int").alias("step"), "vertex")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -204,3 +204,60 @@ def distribution_drift(
             ).alias("tv_dist"),
         )
     )
+
+
+def burst_detection(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 86_400,
+    k_sigma: tuple[int, int] = (2, 1),
+) -> DataFrame:
+    """Per-key time-bucket anomaly flags: a bucket is a burst when its
+    count deviates from the key's mean by more than (p/q)·σ — the
+    ops-monitoring / trend-detection primitive over event streams.
+
+    The whole test runs in EXACT integer arithmetic — no sqrt, no
+    float accumulation: with S = Σc, SS = Σc², n buckets per key,
+        |c − μ| > (p/q)·σ  ⟺  q²·(n·c − S)² > p²·(n·SS − S²)
+    (both sides BIGINT products of counts). The reported
+    `dev_sq_ratio` = (n·c−S)² / (n·SS−S²) — the squared z-score — is
+    one IEEE division of integer-valued doubles, engine bit-exact;
+    a key with zero variance reports 0 ratio and no bursts.
+
+    Dataflow: one partial-agg groupBy to bucket counts, one
+    partial-agg groupBy to per-key moments (n, S, SS), one equi-join
+    back — two shuffles on keys with natural cardinality, no windows,
+    no driver state. Bucket index = exact BIGINT `div` of epoch-micros
+    (the cohort_retention precedent).
+    """
+    p, q = k_sigma
+    if p <= 0 or q <= 0:
+        raise ValueError("k_sigma must be a positive rational (p, q)")
+    w = bucket_seconds * 1_000_000
+    counts = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {w}").alias("bucket"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    moments = counts.groupBy("key").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("ss"),
+    )
+    num = (F.col("n") * F.col("cnt") - F.col("s"))
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")  # n²·σ²
+    return counts.join(moments, "key").select(
+        F.col("key").alias(key_col),
+        "bucket",
+        "cnt",
+        "n",
+        (
+            F.when(var_n2 > 0, (num * num).cast("double") / var_n2.cast("double"))
+            .otherwise(F.lit(0.0))
+        ).alias("dev_sq_ratio"),
+        (F.lit(q * q) * num * num > F.lit(p * p) * var_n2).alias("is_burst"),
+    )

@@ -153,3 +153,97 @@ def test_rrf_fuse_semantics(spark):
     assert out3[1] == (1.0 / 61 + 0.0) + 1.0 / 61
     with pytest.raises(ValueError):
         rrf_fuse([lex], ["a", "b"])
+
+
+def test_burst_detection_matches_numpy(spark):
+    import math
+
+    from ctinexus_spark.operators.stats import burst_detection
+
+    rng = random.Random(17)
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    for key in ("a", "b", "c"):
+        for day in range(20):
+            n = rng.randint(1, 30) if rng.random() > 0.1 else rng.randint(100, 140)
+            for _ in range(n):
+                rows.append((key, base + dt.timedelta(days=day, seconds=rng.randrange(86400))))
+    ev = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = {
+        (r.event_type, r.bucket): (r.cnt, r.is_burst, r.dev_sq_ratio)
+        for r in burst_detection(ev).collect()
+    }
+    # float reference
+    counts: dict[str, dict[int, int]] = {}
+    for k, ts in rows:
+        d = int(ts.timestamp() * 1_000_000) // (86_400 * 1_000_000)
+        dd = counts.setdefault(k, {})
+        dd[d] = dd.get(d, 0) + 1
+    for k, per_day in counts.items():
+        vals = list(per_day.values())
+        n = len(vals)
+        mu = sum(vals) / n
+        var = sum(v * v for v in vals) / n - mu * mu
+        sd = math.sqrt(max(var, 0.0))
+        for d, c in per_day.items():
+            cnt, flag, ratio = got[(k, d)]
+            assert cnt == c
+            # strict inequality; compare against the float reference
+            # away from the boundary (the exact test IS the contract)
+            if abs(abs(c - mu) - 2 * sd) > 1e-6:
+                assert flag == (abs(c - mu) > 2 * sd)
+                if sd > 0:
+                    assert abs(ratio - ((c - mu) / sd) ** 2) < 1e-6
+
+
+def test_burst_boundary_is_strict_and_exact(spark):
+    from ctinexus_spark.operators.stats import burst_detection
+
+    # counts [1, 3]: mu=2, sigma=1 -> deviations exactly 1sigma.
+    # k_sigma=(1,1): strict > must NOT flag either bucket.
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [("k", base)] + [("k", base + dt.timedelta(days=1, seconds=i)) for i in range(3)]
+    ev = spark.createDataFrame(rows, ["event_type", "ts"])
+    out = burst_detection(ev, k_sigma=(1, 1)).collect()
+    assert all(not r.is_burst for r in out)
+    assert all(r.dev_sq_ratio == 1.0 for r in out)
+    # (2,3)·sigma threshold: 1sigma deviation IS a burst
+    out2 = burst_detection(ev, k_sigma=(2, 3)).collect()
+    assert all(r.is_burst for r in out2)
+
+
+def test_random_walks_replay_in_python(spark):
+    """The hash-driven walks must replay exactly from the Python twin
+    of the column hash (py_hash32) — the determinism IS the feature."""
+    from ctinexus_spark.graph.analytics import random_walks
+    from ctinexus_spark.operators.sketches import py_hash32
+
+    rng = random.Random(21)
+    edges = _rand_edges(rng, 20, 40)
+    sdf = spark.createDataFrame(edges, ["src", "dst"])
+    wpv, length, seed = 2, 3, 7
+    got = {
+        (r.start, r.walk, r.step): r.vertex
+        for r in random_walks(sdf, walks_per_vertex=wpv, length=length, seed=seed).collect()
+    }
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    adj = {k: sorted(vs) for k, vs in adj.items()}
+    want = {}
+    for start in adj:
+        for w in range(wpv):
+            v = start
+            want[(start, w, 0)] = v
+            for t in range(1, length + 1):
+                nbrs = adj[v]
+                v = nbrs[py_hash32(f"{seed}|{start}|{w}|{t}|{v}") % len(nbrs)]
+                want[(start, w, t)] = v
+    assert got == want
+    # every consecutive pair must be a real edge
+    eset = {(min(a, b), max(a, b)) for a, b in edges}
+    for (s, w, t), v in got.items():
+        if t:
+            prev = got[(s, w, t - 1)]
+            assert (min(prev, v), max(prev, v)) in eset

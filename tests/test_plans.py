@@ -60,7 +60,8 @@ QUADRATIC_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
      "part_reach", "part_clustering", "source_drift",
      "event_asof_purchase", "click_attribution", "kmv_distinct",
      "part_truss", "jaccard_pairs", "event_funnel", "part_linkpred",
-     "cohort_retention", "part_sssp", "hybrid_topk"],
+     "cohort_retention", "part_sssp", "hybrid_topk", "event_bursts",
+     "part_walks"],
 )
 def test_no_quadratic_plan_in_scale_queries(spark, qname):
     """Every headline dedup/similarity query must plan as equi joins.
