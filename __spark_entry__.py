@@ -78,6 +78,7 @@ CHANGED_THIS_ROUND = [
     "hybrid_topk",
     "event_bursts",
     "part_walks",
+    "kg_entity_cooc",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

@@ -744,3 +744,77 @@ QUERIES = {
     "lp_graph": q_lp_graph,
     "kg_triples": q_kg_triples,
 }
+
+
+def q_kg_entity_cooc(spark, sf_dir):
+    """Cross-document entity co-occurrence lift over the materialized
+    KG: pairs of entities appearing in >= 2 common documents, scored
+    by lift = P(a,b)/(P(a)·P(b)) = (n_ab·N)/(n_a·n_b) — the 'related
+    entities' panel every CTI product derives from its KG (reference
+    renders per-doc graphs; at scale the graph IS the triple table and
+    this is one groupBy + one per-doc pair join over it). Lift is one
+    IEEE division of exact integer-valued doubles (token_pmi pattern);
+    the corpus total N attaches as a keyless 1-row broadcast aggregate
+    — no driver collect."""
+    from ctinexus_spark.partitioning import barrier
+
+    kg = q_kg_triples(spark, sf_dir)
+    ents = barrier(
+        kg.select("doc_id", F.col("subj").alias("entity"))
+        .unionByName(kg.select("doc_id", F.col("obj").alias("entity")))
+        .distinct()
+    )
+    cnt = ents.groupBy("entity").agg(F.count("*").cast("bigint").alias("n"))
+    tot = ents.select(
+        F.count_distinct(F.col("doc_id")).cast("bigint").alias("n_docs")
+    )
+    a = ents.select("doc_id", F.col("entity").alias("entity_a"))
+    b = ents.select("doc_id", F.col("entity").alias("entity_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ca = cnt.select(F.col("entity").alias("entity_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("entity").alias("entity_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(ca, "entity_a")
+        .join(cb, "entity_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "entity_a",
+            "entity_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab") * F.col("n_docs")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+ORACLES["kg_entity_cooc"] = _BASE + """
+, ed AS (
+  SELECT DISTINCT doc_id, s AS entity FROM trip
+  UNION
+  SELECT DISTINCT doc_id, o AS entity FROM trip
+),
+cnt AS (SELECT entity, CAST(count(*) AS BIGINT) AS n FROM ed GROUP BY entity),
+tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM ed),
+pr AS (
+  SELECT a.entity AS entity_a, b.entity AS entity_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM ed a JOIN ed b ON a.doc_id = b.doc_id AND a.entity < b.entity
+  GROUP BY a.entity, b.entity HAVING count(*) >= 2
+)
+SELECT pr.entity_a, pr.entity_b, pr.n_ab, ca.n AS n_a, cb.n AS n_b,
+       CAST(pr.n_ab * tot.nd AS DOUBLE) / CAST(ca.n * cb.n AS DOUBLE) AS lift
+FROM pr
+JOIN cnt ca ON pr.entity_a = ca.entity
+JOIN cnt cb ON pr.entity_b = cb.entity
+CROSS JOIN tot
+"""
+QUERIES["kg_entity_cooc"] = q_kg_entity_cooc

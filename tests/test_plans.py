@@ -61,7 +61,7 @@ QUADRATIC_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
      "event_asof_purchase", "click_attribution", "kmv_distinct",
      "part_truss", "jaccard_pairs", "event_funnel", "part_linkpred",
      "cohort_retention", "part_sssp", "hybrid_topk", "event_bursts",
-     "part_walks"],
+     "part_walks", "kg_entity_cooc"],
 )
 def test_no_quadratic_plan_in_scale_queries(spark, qname):
     """Every headline dedup/similarity query must plan as equi joins.
@@ -91,6 +91,8 @@ def test_no_quadratic_plan_in_scale_queries(spark, qname):
         # intended O(|q|·n) shape, asserted correct by
         # test_ann_broadcasts_query_side)
         "hybrid_topk": 2,
+        # corpus doc-total N attaches as a keyless 1-row build
+        "kg_entity_cooc": 1,
     }
 
     plan = plan_of(dq.QUERIES[qname](spark, SF))
