@@ -107,6 +107,10 @@ ROTATION_HISTORY: dict[str, list[str]] = {
     # date to r01-r03 (oldest coverage), then the r04 KG block —
     # exactly WINDOW names, so the window is fully explicit this round.
     "r05": CHANGED_THIS_ROUND + [
+        # url_ops leads the fill: its only green is this round's window
+        # (union coverage breaks if it slips past WINDOW as the changed
+        # set grows)
+        "url_ops",
         "doc_sample", "doc_text_norm", "ie_triples", "ie_counts",
         "et_typed", "ea_mentions", "ea_entities", "lp_graph",
         "kg_triples", "token_stats", "quality", "lang_features",
@@ -115,7 +119,7 @@ ROTATION_HISTORY: dict[str, list[str]] = {
         "dedup_exact", "minhash", "lsh_bands", "lsh_candidates",
         "shingle_overlap", "emb_cosine_pairs", "ann_topk",
         "lsh_buckets", "lsh_topk", "knn_vote", "mm_metadata",
-        "mm_frame_plan", "url_ops",
+        "mm_frame_plan",
         # ea_entities_merged / ea_entities_cc / ie_demo_topk /
         # ea_ioc_unmerge / lp_links_flaky / kg_fused / lp_split_graph
         # rotated out to make room for the sketch / retrieval /

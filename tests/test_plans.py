@@ -95,7 +95,13 @@ def test_no_quadratic_plan_in_scale_queries(spark, qname):
         "kg_entity_cooc": 1,
     }
 
-    plan = plan_of(dq.QUERIES[qname](spark, SF))
+    if qname in dq.QUERIES:
+        fn = dq.QUERIES[qname]
+    else:  # entry-side registry (e.g. kg_entity_cooc)
+        from ctinexus_spark import entry_queries as _eq
+
+        fn = _eq.QUERIES[qname]
+    plan = plan_of(fn(spark, SF))
     assert "CartesianProduct" not in plan, f"{qname} plans a CartesianProduct:\n{plan}"
     # count physical nodes via their "(id) Name" detail headers — the
     # formatted plan also names every node once in the tree sketch
