@@ -597,3 +597,87 @@ def stream_kmv_distinct(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_bursts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 86_400,
+    k_sigma: tuple[int, int] = (2, 1),
+) -> DataFrame:
+    """Streaming burst monitor: the cross-batch twin of
+    stats.burst_detection — per-key time-bucket counts accumulate as
+    applyInPandasWithState integer counters, and every micro-batch the
+    key receives data it re-emits ALL its buckets with the k·σ flag
+    recomputed over the moments so far (early buckets can gain or lose
+    burst status as the baseline grows — exactly the live-dashboard
+    behavior).
+
+    Bit-equality contract with the batch operator: counters are
+    additive integers, the predicate is the same pure-BIGINT
+    cross-product q²·(n·c−S)² > p²·(n·SS−S²), and dev_sq_ratio
+    replicates the batch's cast-then-divide (float(num²)/float(den) ==
+    CAST AS DOUBLE division), so after the final batch the emission
+    equals burst_detection(union of batches) EXACTLY (pinned by
+    test_streaming). State per key = one int per non-empty bucket —
+    bounded by the key's lifetime in buckets, not by stream volume.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    p, q = k_sigma
+    if p <= 0 or q <= 0:
+        raise ValueError("k_sigma must be a positive rational (p, q)")
+    w = bucket_seconds * 1_000_000
+    prepped = events.select(
+        F.col(key_col).alias("key"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {w}").alias("bucket"),
+    ).groupBy("key")
+
+    def upd(key, pdfs, state):
+        if state.exists:
+            bks, cnts = state.get
+            d = dict(zip(bks, cnts))
+        else:
+            d = {}
+        for pdf in pdfs:
+            for b, c in pdf.groupby("bucket").size().items():
+                d[int(b)] = d.get(int(b), 0) + int(c)
+        items = sorted(d.items())
+        state.update(([b for b, _ in items], [c for _, c in items]))
+        n = len(d)
+        s = sum(d.values())
+        ss = sum(c * c for c in d.values())
+        var_n2 = n * ss - s * s
+        rows = []
+        for b, c in items:
+            num = n * c - s
+            rows.append(
+                {
+                    "event_type": key[0],
+                    "bucket": b,
+                    "cnt": c,
+                    "n": n,
+                    # strictly increases on every update the key gets:
+                    # the final-emission selector for sinks/tests
+                    "total": s,
+                    # batch twin: CAST(x AS DOUBLE)/CAST(y AS DOUBLE)
+                    "dev_sq_ratio": (
+                        float(num * num) / float(var_n2) if var_n2 > 0 else 0.0
+                    ),
+                    "is_burst": bool(q * q * num * num > p * p * var_n2),
+                }
+            )
+        return iter([pd.DataFrame(rows)])
+
+    return prepped.applyInPandasWithState(
+        upd,
+        outputStructType=(
+            "event_type string, bucket long, cnt long, n long, "
+            "total long, dev_sq_ratio double, is_burst boolean"
+        ),
+        stateStructType="buckets array<long>, counts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

