@@ -79,6 +79,7 @@ CHANGED_THIS_ROUND = [
     "event_bursts",
     "part_walks",
     "kg_entity_cooc",
+    "event_twa",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

@@ -3603,3 +3603,46 @@ s0 AS (
 
 ORACLES["part_walks"] = _walks_sql(wpv=2, length=4, seed=7)
 QUERIES["part_walks"] = q_part_walks
+
+
+def q_event_twa(spark, sf_dir):
+    """Time-weighted average of `value` per event type — the
+    irregular-sampling mean (TimescaleDB time_weight('Linear') shape,
+    operators/temporal.time_weighted_avg). Trapezoid terms are fixed
+    IEEE chains; their sum is order-pinned on both engines (Spark
+    left-fold over array_sort(collect_list), DuckDB list_sum(list(...
+    ORDER BY)) — the lm_scores fold precedent); one final division by
+    the exact integer span."""
+    from ctinexus_spark.operators.temporal import time_weighted_avg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return time_weighted_avg(ev)
+
+
+ORACLES["event_twa"] = """
+WITH ev AS (
+  SELECT event_type AS key, epoch_us(ts) AS tus, CAST(value AS DOUBLE) AS v
+  FROM events
+),
+tr AS (
+  SELECT key, tus, v,
+         lead(tus) OVER w AS t2, lead(v) OVER w AS v2
+  FROM ev WINDOW w AS (PARTITION BY key ORDER BY tus, v)
+),
+terms AS (
+  SELECT key, tus, v, (v + v2) * CAST(t2 - tus AS DOUBLE) AS term
+  FROM tr WHERE t2 IS NOT NULL
+),
+sp AS (
+  SELECT key, CAST(max(tus) - min(tus) AS BIGINT) AS span_us,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY key
+)
+SELECT t.key AS event_type, sp.n AS n_samples, sp.span_us,
+       list_sum(list(t.term ORDER BY t.tus, t.v))
+         / (2.0::DOUBLE * CAST(sp.span_us AS DOUBLE)) AS twa
+FROM terms t JOIN sp ON t.key = sp.key
+WHERE sp.n >= 2 AND sp.span_us > 0
+GROUP BY t.key, sp.n, sp.span_us
+"""
+QUERIES["event_twa"] = q_event_twa

@@ -320,3 +320,65 @@ def cohort_retention(
             "retention"
         ),
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted average over irregular samples (the TimescaleDB
+    `time_weight('Linear')` primitive): per key, the trapezoid
+    integral of the value curve divided by the observation span —
+    the honest mean of a sensor/price/gauge series where sample
+    spacing is uneven (an arithmetic mean over-weights bursty
+    periods).
+
+    twa = Σ_i (v_i + v_{i+1})·(t_{i+1} − t_i) / (2·(t_n − t_1))
+
+    Float pinning: each trapezoid term is a fixed IEEE chain (one add,
+    one multiply against an exact integer-valued Δt in micros); the
+    SUM of terms is order-dependent, so both engines fold the terms
+    in pinned (t, v) order — Spark left-folds
+    array_sort(collect_list(struct)), DuckDB list_sum(list(term ORDER
+    BY ...)), the lm_scores/pagerank precedent — and the final value
+    is one division by the exact span. Keys need >= 2 samples (a
+    single point has no span).
+
+    One shuffle on the key; per-key state is the key's own sample
+    list through the sort+fold (spillable via the aggregation sort).
+    """
+    ev = events.select(
+        F.col(key_col).alias("key"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("tus"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    agg = ev.groupBy("key").agg(
+        F.array_sort(F.collect_list(F.struct("tus", "v"))).alias("pts"),
+        F.count("*").cast("bigint").alias("n_samples"),
+    )
+    pts = F.col("pts")
+    terms = F.transform(
+        F.sequence(F.lit(0), F.size(pts) - 2),
+        lambda i: (
+            (F.element_at(pts, i + 1)["v"] + F.element_at(pts, i + 2)["v"])
+            * (
+                F.element_at(pts, i + 2)["tus"] - F.element_at(pts, i + 1)["tus"]
+            ).cast("double")
+        ),
+    )
+    span = (
+        F.element_at(pts, F.size(pts))["tus"] - F.element_at(pts, 1)["tus"]
+    ).cast("bigint")
+    total = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+    return (
+        agg.filter(F.size(pts) >= 2)
+        .filter(span > 0)
+        .select(
+            F.col("key").alias(key_col),
+            "n_samples",
+            span.alias("span_us"),
+            (total / (F.lit(2.0) * span.cast("double"))).alias("twa"),
+        )
+    )

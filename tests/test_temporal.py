@@ -221,3 +221,36 @@ def test_interval_join_subsecond_bounds(spark):
     )
     out = interval_join(pts, ivs, "k", "ts", "s", "e", bucket_seconds=60).collect()
     assert [r.pid for r in out] == [2]
+
+
+def test_time_weighted_avg_matches_numpy_trapezoid(spark):
+    """TWA == numpy.trapz / span on random irregular samples, and a
+    constant series's TWA is exactly the constant regardless of
+    spacing (the property an arithmetic mean lacks)."""
+    import datetime as dt
+    import random
+
+    import numpy as np
+
+    from ctinexus_spark.operators.temporal import time_weighted_avg
+
+    rng = random.Random(23)
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows, series = [], {}
+    for key in ("x", "y"):
+        ts = sorted(rng.sample(range(1, 500_000), 40))
+        vs = [rng.uniform(-5, 5) for _ in ts]
+        series[key] = (ts, vs)
+        rows += [(key, base + dt.timedelta(seconds=t), v) for t, v in zip(ts, vs)]
+    # constant series, wildly uneven spacing
+    for t in (0, 1, 10, 1000, 100_000):
+        rows.append(("const", base + dt.timedelta(seconds=t), 7.25))
+    ev = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    got = {r.event_type: r for r in time_weighted_avg(ev).collect()}
+    for key, (ts, vs) in series.items():
+        t_us = np.array(ts, dtype=np.float64) * 1_000_000
+        want = np.trapz(np.array(vs), t_us) / (t_us[-1] - t_us[0])
+        assert abs(got[key].twa - want) < 1e-12
+        assert got[key].n_samples == 40
+        assert got[key].span_us == (ts[-1] - ts[0]) * 1_000_000
+    assert got["const"].twa == 7.25
