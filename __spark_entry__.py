@@ -80,6 +80,8 @@ CHANGED_THIS_ROUND = [
     "part_walks",
     "kg_entity_cooc",
     "event_twa",
+    "revenue_cube",
+    "idle_customers",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

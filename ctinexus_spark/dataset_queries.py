@@ -3646,3 +3646,63 @@ WHERE sp.n >= 2 AND sp.span_us > 0
 GROUP BY t.key, sp.n, sp.span_us
 """
 QUERIES["event_twa"] = q_event_twa
+
+
+def q_revenue_cube(spark, sf_dir):
+    """CUBE over (market segment, order status): all 4 grouping-set
+    combinations in one pass — the OLAP cross-tab the ROLLUP query
+    (revenue_rollup) doesn't produce. Dims coalesced to '(all)';
+    money through DECIMAL then DOUBLE (order-free, the rollup
+    precedent); one customer⇄orders equi-join feeds the cube."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return (
+        j.cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("(all)")).alias("segment"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "total",
+            "n",
+        )
+    )
+
+
+ORACLES["revenue_cube"] = """
+SELECT coalesce(c_mktsegment, '(all)') AS segment,
+       coalesce(o_orderstatus, '(all)') AS status,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderstatus)
+"""
+QUERIES["revenue_cube"] = q_revenue_cube
+
+
+def q_idle_customers(spark, sf_dir):
+    """Customers with NO orders (LEFT ANTI join) plus each one's
+    market segment and balance — the classical exclusion-join shape
+    (at scale an anti join is the broadcast/DPP-friendly form of the
+    NOT-IN subquery, which naive plans turn into a nested loop)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+        )
+    )
+
+
+ORACLES["idle_customers"] = """
+SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS acctbal
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+QUERIES["idle_customers"] = q_idle_customers
