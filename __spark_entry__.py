@@ -82,6 +82,7 @@ CHANGED_THIS_ROUND = [
     "event_twa",
     "revenue_cube",
     "idle_customers",
+    "event_decay",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

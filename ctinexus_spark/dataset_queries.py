@@ -3706,3 +3706,48 @@ FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 """
 QUERIES["idle_customers"] = q_idle_customers
+
+
+def q_event_decay(spark, sf_dir):
+    """Half-life-decayed trending counters per event type (half-life 7
+    days over daily buckets, window 64) — stats.decayed_counts. The
+    weight table is ONE Python-computed constant list embedded into
+    both engines ({v!r}::DOUBLE, BM25 precedent — engine pow() could
+    differ in the last ulp); terms fold in pinned bucket order."""
+    from ctinexus_spark.operators.stats import decayed_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return decayed_counts(ev)
+
+
+def _decay_sql(half_life: float, window: int) -> str:
+    from ctinexus_spark.operators.stats import decay_weights
+
+    values = ", ".join(
+        f"(CAST({o} AS BIGINT), {w!r}::DOUBLE)"
+        for o, w in decay_weights(half_life, window)
+    )
+    return f"""
+WITH counts AS (
+  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000
+),
+ref AS (SELECT max(bucket) AS ref_bucket FROM counts),
+wt(off, weight) AS (VALUES {values}),
+terms AS (
+  SELECT c.key, r.ref_bucket, c.bucket, c.cnt,
+         CAST(c.cnt AS DOUBLE) * w.weight AS term
+  FROM counts c CROSS JOIN ref r
+  JOIN wt w ON w.off = r.ref_bucket - c.bucket
+)
+SELECT key AS event_type, CAST(ref_bucket AS BIGINT) AS ref_bucket,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(cnt) AS BIGINT) AS n_events,
+       list_sum(list(term ORDER BY bucket)) AS score
+FROM terms GROUP BY key, ref_bucket
+"""
+
+
+ORACLES["event_decay"] = _decay_sql(half_life=7.0, window=64)
+QUERIES["event_decay"] = q_event_decay

@@ -261,3 +261,73 @@ def burst_detection(
         ).alias("dev_sq_ratio"),
         (F.lit(q * q) * num * num > F.lit(p * p) * var_n2).alias("is_burst"),
     )
+
+
+def decay_weights(half_life: float, window: int) -> list[tuple[int, float]]:
+    """(bucket_offset, 0.5^(offset/half_life)) for offsets 0..window−1
+    — computed ONCE in Python and embedded into both engines (a
+    Spark-side pow() and a DuckDB-side pow() could differ in the last
+    ulp; a shared constant table cannot)."""
+    return [(o, 0.5 ** (o / half_life)) for o in range(window)]
+
+
+def decayed_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 86_400,
+    half_life: float = 7.0,
+    window: int = 64,
+) -> DataFrame:
+    """Exponential time-decay counters — the trending/feature-store
+    primitive: score(key) = Σ_buckets count_b · 0.5^((ref−b)/half_life)
+    with ref = the corpus's newest bucket, window-limited (offsets
+    past `window` have decayed to dust and are dropped, bounding the
+    weight table).
+
+    Determinism: bucket counts are exact integers; the weights are
+    ONE Python-computed constant table broadcast to both engines (no
+    engine-side pow); each term is one IEEE multiply; the sum of
+    terms folds in pinned bucket order (left-fold over
+    array_sort(collect_list) == DuckDB list_sum(ORDER BY) — the
+    lm_scores precedent). ref attaches as a keyless 1-row broadcast
+    aggregate — no driver collect.
+
+    Output: (key, ref_bucket, n_buckets, n_events, score).
+    """
+    w = bucket_seconds * 1_000_000
+    counts = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {w}").alias("bucket"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    spark = events.sparkSession
+    ref = counts.select(F.max("bucket").alias("ref_bucket"))
+    weights = spark.createDataFrame(
+        decay_weights(half_life, window), ["offset", "weight"]
+    ).select(F.col("offset").cast("bigint").alias("offset"), "weight")
+    terms = (
+        counts.crossJoin(F.broadcast(ref))
+        .withColumn("offset", F.col("ref_bucket") - F.col("bucket"))
+        .join(F.broadcast(weights), "offset")
+        .select(
+            "key",
+            "ref_bucket",
+            "bucket",
+            "cnt",
+            (F.col("cnt").cast("double") * F.col("weight")).alias("term"),
+        )
+    )
+    pts = F.array_sort(F.collect_list(F.struct("bucket", "term")))
+    return terms.groupBy("key", "ref_bucket").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum("cnt").cast("bigint").alias("n_events"),
+        F.aggregate(
+            pts, F.lit(0.0), lambda acc, s: acc + s["term"]
+        ).alias("score"),
+    ).select(
+        F.col("key").alias(key_col), "ref_bucket", "n_buckets", "n_events", "score"
+    )

@@ -247,3 +247,39 @@ def test_random_walks_replay_in_python(spark):
         if t:
             prev = got[(s, w, t - 1)]
             assert (min(prev, v), max(prev, v)) in eset
+
+
+def test_decayed_counts_matches_python_fold(spark):
+    from ctinexus_spark.operators.stats import decay_weights, decayed_counts
+
+    rng = random.Random(29)
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    per_key_day: dict[str, dict[int, int]] = {}
+    for key in ("a", "b"):
+        for day in range(20):
+            n = rng.randint(0, 9)
+            dd = per_key_day.setdefault(key, {})
+            if n:
+                dd[day] = n
+                rows += [
+                    (key, base + dt.timedelta(days=day, seconds=i)) for i in range(n)
+                ]
+    # a fresh burst and its exact one-half-life-older twin
+    rows += [("fresh", base + dt.timedelta(days=19, seconds=i)) for i in range(8)]
+    rows += [("stale", base + dt.timedelta(days=12, seconds=i)) for i in range(8)]
+    ev = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = {r.event_type: r for r in decayed_counts(ev, half_life=7.0).collect()}
+    wt = dict(decay_weights(7.0, 64))
+    epoch_day0 = int(base.timestamp()) // 86_400
+    ref = epoch_day0 + 19
+    for key, dd in per_key_day.items():
+        acc = 0.0
+        for day in sorted(dd):  # pinned bucket order, same left fold
+            acc = acc + float(dd[day]) * wt[ref - (epoch_day0 + day)]
+        assert got[key].score == acc
+        assert got[key].n_events == sum(dd.values())
+    assert got["fresh"].score == 8.0
+    # exactly one half-life older -> exactly half the score
+    assert got["stale"].score == 8.0 * wt[7]
+    assert abs(got["stale"].score - 4.0) < 1e-12

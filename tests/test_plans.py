@@ -61,7 +61,7 @@ QUADRATIC_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
      "event_asof_purchase", "click_attribution", "kmv_distinct",
      "part_truss", "jaccard_pairs", "event_funnel", "part_linkpred",
      "cohort_retention", "part_sssp", "hybrid_topk", "event_bursts",
-     "part_walks", "kg_entity_cooc", "event_twa"],
+     "part_walks", "kg_entity_cooc", "event_twa", "event_decay"],
 )
 def test_no_quadratic_plan_in_scale_queries(spark, qname):
     """Every headline dedup/similarity query must plan as equi joins.
@@ -93,6 +93,8 @@ def test_no_quadratic_plan_in_scale_queries(spark, qname):
         "hybrid_topk": 2,
         # corpus doc-total N attaches as a keyless 1-row build
         "kg_entity_cooc": 1,
+        # the newest-bucket reference attaches as a keyless 1-row build
+        "event_decay": 1,
     }
 
     if qname in dq.QUERIES:
