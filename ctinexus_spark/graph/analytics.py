@@ -765,8 +765,12 @@ def random_walks(
     canon = e.select(
         F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
     ).distinct()
-    und = canon.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
-        canon.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    # und feeds THREE consumers (adj, deg, starts) — barrier the
+    # branch point so the edge distinct isn't re-derived per consumer
+    und = barrier(
+        canon.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
+            canon.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
     )
     from pyspark.sql import Window
 

@@ -235,7 +235,11 @@ def burst_detection(
     if p <= 0 or q <= 0:
         raise ValueError("k_sigma must be a positive rational (p, q)")
     w = bucket_seconds * 1_000_000
-    counts = (
+    from ctinexus_spark.partitioning import barrier
+
+    # counts feeds two consumers (moments + the flag join) — barrier
+    # the branch point (multi-consumer rule)
+    counts = barrier(
         events.select(
             F.col(key_col).alias("key"),
             F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {w}").alias("bucket"),
@@ -295,8 +299,11 @@ def decayed_counts(
 
     Output: (key, ref_bucket, n_buckets, n_events, score).
     """
+    from ctinexus_spark.partitioning import barrier
+
     w = bucket_seconds * 1_000_000
-    counts = (
+    # counts feeds two consumers (ref + terms) — barrier the branch
+    counts = barrier(
         events.select(
             F.col(key_col).alias("key"),
             F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {w}").alias("bucket"),
