@@ -83,6 +83,7 @@ CHANGED_THIS_ROUND = [
     "revenue_cube",
     "idle_customers",
     "event_decay",
+    "event_transitions",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

@@ -3751,3 +3751,34 @@ FROM terms GROUP BY key, ref_bucket
 
 ORACLES["event_decay"] = _decay_sql(half_life=7.0, window=64)
 QUERIES["event_decay"] = q_event_decay
+
+
+def q_event_transitions(spark, sf_dir):
+    """Within-session (30-min gap) event-type transition matrix with
+    row-conditional probabilities — the user-journey Markov/Sankey
+    primitive (operators/temporal.session_transitions). Integer pair
+    counts; p one IEEE division. 25 cells at sf0.01 (5x5 types)."""
+    from ctinexus_spark.operators.temporal import session_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_transitions(ev)
+
+
+ORACLES["event_transitions"] = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER w AS from_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+pairs AS (
+  SELECT from_type, event_type AS to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE from_type IS NOT NULL AND gap_us <= 1800000000
+  GROUP BY from_type, event_type
+),
+tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n FROM pairs GROUP BY from_type)
+SELECT p.from_type, p.to_type, p.n, t.row_n,
+       CAST(p.n AS DOUBLE) / CAST(t.row_n AS DOUBLE) AS p
+FROM pairs p JOIN tot t USING (from_type)
+"""
+QUERIES["event_transitions"] = q_event_transitions

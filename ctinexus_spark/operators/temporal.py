@@ -382,3 +382,56 @@ def time_weighted_avg(
             (total / (F.lit(2.0) * span.cast("double"))).alias("twa"),
         )
     )
+
+
+def session_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    gap_seconds: int = 1800,
+    min_count: int = 1,
+) -> DataFrame:
+    """Within-session event-type transition matrix — the user-journey
+    / Markov-chain primitive behind every path-analysis Sankey:
+    consecutive event pairs of the same user with <= gap_seconds
+    between them, counted per (from_type, to_type), with the row-
+    conditional probability p = n / Σ_to n.
+
+    One key shuffle: lag() over (user ORDER BY ts, tiebreak) yields
+    the predecessor type + gap; a session break (gap > G or first
+    event) drops the pair; two partial aggs (pair counts, from-type
+    totals) + one equi-join. p is one IEEE division of exact
+    integer-valued doubles — engine bit-exact. The tiebreak column
+    makes the frame order total (the event_leadlag precedent).
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_t = F.lag(F.col(type_col)).over(w)
+    gap_us = tus - F.lag(tus).over(w)
+    pairs = (
+        events.select(
+            prev_t.alias("from_type"),
+            F.col(type_col).alias("to_type"),
+            gap_us.alias("gap_us"),
+        )
+        .filter(
+            F.col("from_type").isNotNull()
+            & (F.col("gap_us") <= F.lit(gap_seconds * 1_000_000))
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    from ctinexus_spark.partitioning import barrier
+
+    pairs = barrier(pairs)  # feeds totals + the final join
+    totals = pairs.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("row_n"))
+    return pairs.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "row_n",
+        (F.col("n").cast("double") / F.col("row_n").cast("double")).alias("p"),
+    )

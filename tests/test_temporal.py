@@ -254,3 +254,55 @@ def test_time_weighted_avg_matches_numpy_trapezoid(spark):
         assert got[key].n_samples == 40
         assert got[key].span_us == (ts[-1] - ts[0]) * 1_000_000
     assert got["const"].twa == 7.25
+
+
+def test_session_transitions_matches_brute(spark):
+    """Transitions vs a per-user Python scan: session breaks drop the
+    pair; row-conditional p sums to 1 per from_type."""
+    import datetime as dt
+    import random
+
+    from ctinexus_spark.operators.temporal import session_transitions
+
+    rng = random.Random(31)
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    types = ["view", "click", "purchase"]
+    rows = []
+    eid = 0
+    per_user = {}
+    for u in range(15):
+        t = 0
+        evs = []
+        for _ in range(rng.randint(0, 20)):
+            t += rng.choice([5, 60, 600, 4000])  # some gaps break sessions
+            evs.append((t, eid, rng.choice(types)))
+            eid += 1
+        per_user[u] = evs
+        rows += [
+            (u, e, base + dt.timedelta(seconds=t), ty) for t, e, ty in evs
+        ]
+    if not rows:
+        rows = [(0, 0, base, "view")]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+    got = {
+        (r.from_type, r.to_type): (r.n, r.row_n, r.p)
+        for r in session_transitions(ev, gap_seconds=1800).collect()
+    }
+    want: dict[tuple[str, str], int] = {}
+    for evs in per_user.values():
+        for (t0, _, ty0), (t1, _, ty1) in zip(evs, evs[1:]):
+            if t1 - t0 <= 1800:
+                want[(ty0, ty1)] = want.get((ty0, ty1), 0) + 1
+    row_n: dict[str, int] = {}
+    for (f, _), n in want.items():
+        row_n[f] = row_n.get(f, 0) + n
+    want2 = {k: (n, row_n[k[0]], float(n) / float(row_n[k[0]])) for k, n in want.items()}
+    assert got == want2
+    # probabilities sum to 1 per from_type (exact rational partition)
+    from collections import defaultdict
+
+    sums = defaultdict(list)
+    for (f, _), (n, rn, _) in got.items():
+        sums[f].append((n, rn))
+    for f, pairs in sums.items():
+        assert sum(n for n, _ in pairs) == pairs[0][1]
