@@ -84,6 +84,7 @@ CHANGED_THIS_ROUND = [
     "idle_customers",
     "event_decay",
     "event_transitions",
+    "event_cusum",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

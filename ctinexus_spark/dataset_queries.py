@@ -3782,3 +3782,44 @@ SELECT p.from_type, p.to_type, p.n, t.row_n,
 FROM pairs p JOIN tot t USING (from_type)
 """
 QUERIES["event_transitions"] = q_event_transitions
+
+
+def q_event_cusum(spark, sf_dir):
+    """CUSUM drift chart over daily per-type event counts — sustained
+    level-shift detection via the prefix identity S_t = P_t −
+    least(0, min prefix P) (stats.cusum_drift), all-BIGINT window
+    arithmetic, k = per-key floor-mean. Complements event_bursts
+    (point outliers vs accumulated drift)."""
+    from ctinexus_spark.operators.stats import cusum_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cusum_drift(ev, threshold=20)
+
+
+ORACLES["event_cusum"] = """
+WITH counts AS (
+  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000
+),
+kref AS (SELECT key, CAST(sum(cnt) // count(*) AS BIGINT) AS k FROM counts GROUP BY key),
+prefixed AS (
+  SELECT c.key, c.bucket, c.cnt, kref.k,
+         sum(c.cnt - kref.k) OVER (
+           PARTITION BY c.key ORDER BY c.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM counts c JOIN kref USING (key)
+),
+scored AS (
+  SELECT key, bucket, cnt, k, p,
+         min(p) OVER (
+           PARTITION BY key ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mp
+  FROM prefixed
+)
+SELECT key AS event_type, CAST(bucket AS BIGINT) AS bucket, cnt, k,
+       CAST(p - least(CAST(0 AS BIGINT), mp) AS BIGINT) AS cusum,
+       (p - least(CAST(0 AS BIGINT), mp)) > 20 AS alarm
+FROM scored
+"""
+QUERIES["event_cusum"] = q_event_cusum

@@ -338,3 +338,66 @@ def decayed_counts(
     ).select(
         F.col("key").alias(key_col), "ref_bucket", "n_buckets", "n_events", "score"
     )
+
+
+def cusum_drift(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 86_400,
+    threshold: int = 20,
+) -> DataFrame:
+    """Per-key CUSUM drift detection over time-bucket counts — the
+    changepoint primitive for SUSTAINED level shifts (burst_detection
+    flags point outliers; CUSUM accumulates small persistent
+    deviations until they cross a threshold, the classic
+    quality-control chart).
+
+    With x_t = count_t − k (k = the key's floor-mean count, an exact
+    BIGINT `div`), the textbook recurrence S_t = max(0, S_{t−1} + x_t)
+    is computed WITHOUT a sequential loop via the prefix identity
+        S_t = P_t − least(0, min_{j<=t} P_j),   P_t = Σ_{i<=t} x_i
+    — two window functions over (key ORDER BY bucket), all-BIGINT
+    arithmetic, so the whole operator is engine bit-exact and stays
+    in one key-partitioned window pass (no driver state, no UDF).
+
+    Output: (key, bucket, cnt, k, cusum, alarm = cusum > threshold).
+    """
+    from pyspark.sql import Window as W
+
+    from ctinexus_spark.partitioning import barrier
+
+    wus = bucket_seconds * 1_000_000
+    counts = barrier(
+        events.select(
+            F.col(key_col).alias("key"),
+            F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {wus}").alias(
+                "bucket"
+            ),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    kref = counts.groupBy("key").agg(
+        F.expr("sum(cnt) div count(*)").cast("bigint").alias("k")
+    )
+    w = (
+        W.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    scored = (
+        counts.join(kref, "key")
+        .withColumn("p", F.sum(F.col("cnt") - F.col("k")).over(w))
+        .withColumn("mp", F.min("p").over(w))
+        .select(
+            F.col("key").alias(key_col),
+            "bucket",
+            "cnt",
+            "k",
+            (F.col("p") - F.least(F.lit(0).cast("bigint"), F.col("mp"))).alias(
+                "cusum"
+            ),
+        )
+    )
+    return scored.withColumn("alarm", F.col("cusum") > threshold)

@@ -283,3 +283,43 @@ def test_decayed_counts_matches_python_fold(spark):
     # exactly one half-life older -> exactly half the score
     assert got["stale"].score == 8.0 * wt[7]
     assert abs(got["stale"].score - 4.0) < 1e-12
+
+
+def test_cusum_drift_matches_python_recurrence(spark):
+    """The prefix identity must equal the textbook sequential
+    recurrence S_t = max(0, S_{t-1} + (c_t - k)), including a
+    deliberate level shift that the point-outlier burst test misses."""
+    from ctinexus_spark.operators.stats import cusum_drift
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rng = random.Random(37)
+    rows = []
+    per_key: dict[str, dict[int, int]] = {}
+    for key in ("steady", "shifted"):
+        dd = {}
+        for day in range(30):
+            n = rng.randint(8, 12)
+            if key == "shifted" and day >= 20:
+                n += 6  # small sustained shift, never a 2-sigma point outlier
+            dd[day] = n
+            rows += [(key, base + dt.timedelta(days=day, seconds=i)) for i in range(n)]
+        per_key[key] = dd
+    ev = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = {
+        (r.event_type, r.bucket): (r.cnt, r.k, r.cusum, r.alarm)
+        for r in cusum_drift(ev, threshold=15).collect()
+    }
+    epoch_day0 = int(base.timestamp()) // 86_400
+    for key, dd in per_key.items():
+        total = sum(dd.values())
+        k = total // len(dd)
+        s = 0
+        for day in sorted(dd):
+            s = max(0, s + dd[day] - k)
+            cnt, gk, cusum, alarm = got[(key, epoch_day0 + day)]
+            assert (cnt, gk) == (dd[day], k)
+            assert cusum == s
+            assert alarm == (s > 15)
+    # the sustained shift must alarm; the steady series must not
+    assert any(v[3] for (kk, _), v in got.items() if kk == "shifted")
+    assert not any(v[3] for (kk, _), v in got.items() if kk == "steady")
