@@ -85,6 +85,7 @@ CHANGED_THIS_ROUND = [
     "event_decay",
     "event_transitions",
     "event_cusum",
+    "order_zorder",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

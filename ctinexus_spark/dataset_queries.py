@@ -3823,3 +3823,38 @@ SELECT key AS event_type, CAST(bucket AS BIGINT) AS bucket, cnt, k,
 FROM scored
 """
 QUERIES["event_cusum"] = q_event_cusum
+
+
+def q_order_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering keys over orders: interleave
+    (o_custkey, order epoch-day) — the lakehouse OPTIMIZE ZORDER
+    primitive that makes file min/max stats selective for range
+    predicates on EITHER dimension (prepare.zorder_key, pure-JVM
+    shift/mask fold, exact BIGINT). Sorting/writing by zkey is the
+    layout step; this query pins the key math cross-engine."""
+    from ctinexus_spark.operators.prepare import zorder_key
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    day = "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT)"
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(day).alias("order_day"),
+        zorder_key("o_custkey", day).alias("zkey"),
+    )
+
+
+ORACLES["order_zorder"] = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS BIGINT) AS order_day
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, order_day,
+       CAST(list_sum(list_transform(range(0, 21), i ->
+         (((o_custkey >> CAST(i AS INT)) % 2) << CAST(i * 2 AS INT))
+         + (((order_day >> CAST(i AS INT)) % 2) << CAST(i * 2 + 1 AS INT))
+       )) AS BIGINT) AS zkey
+FROM base
+"""
+QUERIES["order_zorder"] = q_order_zorder
