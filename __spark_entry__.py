@@ -86,6 +86,8 @@ CHANGED_THIS_ROUND = [
     "event_transitions",
     "event_cusum",
     "order_zorder",
+    "user_event_pivot",
+    "user_event_unpivot",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

@@ -3858,3 +3858,61 @@ SELECT o_orderkey, o_custkey, order_day,
 FROM base
 """
 QUERIES["order_zorder"] = q_order_zorder
+
+
+def q_user_event_pivot(spark, sf_dir):
+    """PIVOT: per-user event counts widened to one column per event
+    type (the 5 types pinned explicitly — an unpinned pivot scans
+    once to discover values; pinning keeps the plan single-pass) —
+    the classical wide-format operator. Integer counts, 0 for absent
+    combinations."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))  # count(*) is invalid inside a pivot agg
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in types],
+    )
+
+
+ORACLES["user_event_pivot"] = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+QUERIES["user_event_pivot"] = q_user_event_pivot
+
+
+def q_user_event_unpivot(spark, sf_dir):
+    """UNPIVOT (melt): the wide pivot table back to long form via the
+    native unpivot operator, zero-count cells dropped — the round
+    trip proves pivot+unpivot lose nothing, and the oracle is the
+    DIRECT long-form aggregation (never pivoted at all)."""
+    wide = q_user_event_pivot(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    long = wide.unpivot(
+        "user_id",
+        [f"n_{t}" for t in types],
+        "event_type",
+        "n",
+    )
+    return long.filter(F.col("n") > 0).select(
+        "user_id",
+        F.expr("substring(event_type, 3)").alias("event_type"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+ORACLES["user_event_unpivot"] = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type
+"""
+QUERIES["user_event_unpivot"] = q_user_event_unpivot
