@@ -88,6 +88,8 @@ CHANGED_THIS_ROUND = [
     "order_zorder",
     "user_event_pivot",
     "user_event_unpivot",
+    "part_name_fuzzy",
+    "event_props_k",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of

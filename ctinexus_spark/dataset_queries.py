@@ -3916,3 +3916,72 @@ SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY user_id, event_type
 """
 QUERIES["user_event_unpivot"] = q_user_event_unpivot
+
+
+def q_part_name_fuzzy(spark, sf_dir):
+    """Fuzzy record linkage over part names: all DISTINCT-name pairs
+    within levenshtein 2, each with its part-group size — the
+    entity-matching join (dedup.edit_distance_join: bigram-blocked,
+    EXACT — one edit kills <= 2 bigrams so lev<=k forces a shared
+    bigram at these lengths; |len diff| filter; JVM levenshtein
+    verify, bit-identical to DuckDB's). Names dedupe + group counts
+    upstream so duplicate groups never square."""
+    from ctinexus_spark.operators.dedup import edit_distance_join
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    names = p.groupBy(F.col("p_name").alias("name")).agg(
+        F.count("*").cast("bigint").alias("n_parts")
+    )
+    pairs = edit_distance_join(names, threshold=2, id_col="name")
+    na = names.select(F.col("name").alias("a"), F.col("n_parts").alias("n_a"))
+    nb = names.select(F.col("name").alias("b"), F.col("n_parts").alias("n_b"))
+    return pairs.join(na, "a").join(nb, "b").select("a", "b", "dist", "n_a", "n_b")
+
+
+ORACLES["part_name_fuzzy"] = """
+WITH names AS (
+  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY p_name
+)
+SELECT a.name AS a, b.name AS b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+       a.n_parts AS n_a, b.n_parts AS n_b
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
+"""
+QUERIES["part_name_fuzzy"] = q_part_name_fuzzy
+
+
+def q_event_props_k(spark, sf_dir):
+    """Semi-structured extraction: parse the JSON `props` column
+    (get_json_object path $.k) and profile k per event type — the
+    JSON-column shape every event pipeline carries. All-integer
+    outputs; the oracle uses DuckDB's independent JSON reader."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.count_distinct(F.col("k")).cast("bigint").alias("k_distinct"),
+        )
+    )
+
+
+ORACLES["event_props_k"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_distinct
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY event_type
+"""
+QUERIES["event_props_k"] = q_event_props_k

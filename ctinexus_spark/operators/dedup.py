@@ -764,3 +764,68 @@ def jaccard_join_exact(
             ).alias("jaccard"),
         )
     )
+
+
+def edit_distance_join(
+    strings: DataFrame,
+    threshold: int = 2,
+    id_col: str = "s",
+    min_len: int | None = None,
+) -> DataFrame:
+    """EXACT fuzzy self-join on a string column: all pairs with
+    levenshtein <= threshold — the record-linkage / entity-matching
+    primitive (product names, addresses, aliases).
+
+    Exactness with blocking: one edit destroys at most q=2 bigrams,
+    so lev(a,b) <= k forces |shared bigrams| >= max(|a|,|b|) - 1 - 2k
+    — strictly positive whenever min string length > 2k + 1 (validated
+    at build time). Candidates therefore equi-join on shared DISTINCT
+    bigrams (+ the |len diff| <= k necessary condition), and the exact
+    levenshtein verifies — no pair is missed, no O(n²). The verify
+    uses the built-in JVM levenshtein (bit-identical to DuckDB's —
+    classic integer DP).
+
+    Input must be DISTINCT strings (dedupe + carry group counts
+    upstream — a heavily duplicated column would square inside each
+    duplicate group). Output: (a, b, dist) with a < b.
+    """
+    if threshold < 0:
+        raise ValueError("threshold must be >= 0")
+    from ctinexus_spark.partitioning import ensure_parallelism
+
+    s = ensure_parallelism(strings.select(F.col(id_col).alias("s")).distinct())
+    if min_len is None:
+        min_len = s.agg(F.min(F.length("s"))).collect()[0][0] or 0
+    if min_len <= 2 * threshold + 1:
+        raise ValueError(
+            f"bigram blocking is only exact for strings longer than "
+            f"2*threshold+1 = {2 * threshold + 1}; shortest input is {min_len}"
+        )
+    grams = barrier(
+        s.select(
+            "s",
+            F.length("s").alias("l"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("s") - 1),
+                        lambda i: F.col("s").substr(i, F.lit(2)),
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    a = grams.select(F.col("s").alias("a"), F.col("l").alias("la"), "g")
+    b = grams.select(F.col("s").alias("b"), F.col("l").alias("lb"), "g")
+    cand = (
+        a.join(b, "g")
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= threshold)
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    return cand.select(
+        "a", "b", F.levenshtein("a", "b").cast("int").alias("dist")
+    ).filter(F.col("dist") <= threshold)

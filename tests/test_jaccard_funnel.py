@@ -143,3 +143,55 @@ def test_funnel_matches_brute_reference(spark):
             depth = sum(1 for t in times if t != -1)
             want[u] = (*times, depth)
     assert got == want
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_join_matches_brute(spark):
+    """The bigram-blocked join must find EVERY pair within the
+    threshold (the q-gram count filter argument), including pairs
+    differing at the first character (which naive prefix blocking
+    would miss)."""
+    import pytest
+
+    from ctinexus_spark.operators.dedup import edit_distance_join
+
+    rng = random.Random(43)
+    base = ["red widget", "blue bolt", "green gear", "small ring", "metal plate"]
+    names = set(base)
+    for s in base:
+        for _ in range(3):  # mutated variants incl. first-char edits
+            t = list(s)
+            op = rng.choice(["sub", "del", "ins"])
+            pos = rng.randrange(len(t))
+            if op == "sub":
+                t[pos] = rng.choice("abcdefgh")
+            elif op == "del" and len(t) > 7:
+                del t[pos]
+            else:
+                t.insert(pos, rng.choice("abcdefgh"))
+            names.add("".join(t))
+    names = sorted(names)
+    sdf = spark.createDataFrame([(n,) for n in names], ["name"])
+    got = {
+        (r.a, r.b): r.dist
+        for r in edit_distance_join(sdf, threshold=2, id_col="name").collect()
+    }
+    want = {
+        (a, b): _lev(a, b)
+        for a, b in itertools.combinations(names, 2)
+        if _lev(a, b) <= 2
+    }
+    assert got == want and want  # non-trivial fixture
+    # exactness precondition enforced: strings too short must raise
+    tiny = spark.createDataFrame([("abcd",), ("abce",)], ["name"])
+    with pytest.raises(ValueError):
+        edit_distance_join(tiny, threshold=2, id_col="name")

@@ -62,7 +62,8 @@ QUADRATIC_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
      "part_truss", "jaccard_pairs", "event_funnel", "part_linkpred",
      "cohort_retention", "part_sssp", "hybrid_topk", "event_bursts",
      "part_walks", "kg_entity_cooc", "event_twa", "event_decay",
-     "event_transitions", "event_cusum", "order_zorder"],
+     "event_transitions", "event_cusum", "order_zorder",
+     "part_name_fuzzy", "event_props_k"],
 )
 def test_no_quadratic_plan_in_scale_queries(spark, qname):
     """Every headline dedup/similarity query must plan as equi joins.
