@@ -132,7 +132,7 @@ def q_ea_entities(spark, sf_dir):
 
 def q_lp_graph(spark, sf_dir):
     _typed_df, aligned = _aligned(spark, sf_dir)
-    return analyze_graph(aligned).select(
+    return analyze_graph(aligned, pre_grouped=True).select(
         _doc_id(), "entity_id", "entity_text", "component_id",
         "component_size", "degree", "is_main", "is_topic",
     )
@@ -141,7 +141,7 @@ def q_lp_graph(spark, sf_dir):
 def q_kg_triples(spark, sf_dir):
     typed, aligned = _aligned(spark, sf_dir)
     aligned = aligned.persist()  # feeds graph AND materialize
-    graph = analyze_graph(aligned)
+    graph = analyze_graph(aligned, pre_grouped=True)
     docs = _docs_norm(spark, sf_dir)
     links = predict_links(graph, docs, StubModel(CONFIG), CONFIG)
     kg = materialize_kg(aligned, typed, links)
@@ -281,7 +281,7 @@ def q_lp_split_graph(spark, sf_dir):
     nodes = mint_mentions(typed)
     emb = embed_mentions(nodes, StubModel(CONFIG))
     aligned = align_entities(nodes, emb, CONFIG)
-    return analyze_graph(aligned).select(
+    return analyze_graph(aligned, pre_grouped=True).select(
         _doc_id(), "entity_id", "entity_text", "component_id",
         "component_size", "degree", "is_main", "is_topic",
     )
@@ -687,7 +687,7 @@ def q_lp_links_flaky(spark, sf_dir):
     nodes = mint_mentions(typed)
     emb = embed_mentions(nodes, model)
     aligned = align_entities(nodes, emb, CONFIG)
-    graph = analyze_graph(aligned)
+    graph = analyze_graph(aligned, pre_grouped=True)
     links = predict_links(graph, docs, model, CONFIG)
     return links.select(
         _doc_id(), "subject_entity_id", "subject_text", "relation",

@@ -50,25 +50,54 @@ ALIGNED_SCHEMA = NODES_SCHEMA + (
 
 def mint_mentions(triples_typed: DataFrame) -> DataFrame:
     """Explode typed triples into per-node rows with dense doc-scoped
-    mention ids (first-occurrence order). Pure DataFrame ops:
-    posexplode-equivalent via union, then a rank over first positions.
+    mention ids (first-occurrence order). Pure DataFrame ops.
+
+    Shuffle shape (optimization round 6, guide §2.4): ONE exchange.
+    The triples are hash-repartitioned by url BEFORE the subject/object
+    explode (narrow — GenerateExec preserves partitioning), and both
+    windows' ClusteredDistribution requirements — (url, mention_text)
+    and (url) — are satisfied by hashpartitioning(url) (subset rule),
+    so they plan as local sorts with no further exchange. The earlier
+    union-of-two-selects form paid one exchange per window (two full
+    node-row shuffles) and scanned the typed input twice.
+
+    The url partitioning + (url, first_pos) sort order established here
+    also flow into align_entities: its grouped-map repartition/sort are
+    provably redundant and elided by the planner, so the per-node
+    embedding join output reaches the Arrow pass with no extra shuffle.
+
+    POST-CONDITION (relied on downstream): every url's rows live in a
+    single partition, contiguously.
     """
     t = triples_typed.filter(F.col("valid"))
-    subjects = t.select(
-        "url", "t_idx",
-        F.lit("subject").alias("side"),
-        (F.col("t_idx") * 2).alias("pos"),
-        F.col("subject_text").alias("mention_text"),
-        F.col("subject_class").alias("mention_class"),
+    node = F.explode(
+        F.array(
+            F.struct(
+                F.lit("subject").alias("side"),
+                (F.col("t_idx") * 2).alias("pos"),
+                F.col("subject_text").alias("mention_text"),
+                F.col("subject_class").alias("mention_class"),
+            ),
+            F.struct(
+                F.lit("object").alias("side"),
+                (F.col("t_idx") * 2 + 1).alias("pos"),
+                F.col("object_text").alias("mention_text"),
+                F.col("object_class").alias("mention_class"),
+            ),
+        )
     )
-    objects = t.select(
-        "url", "t_idx",
-        F.lit("object").alias("side"),
-        (F.col("t_idx") * 2 + 1).alias("pos"),
-        F.col("object_text").alias("mention_text"),
-        F.col("object_class").alias("mention_class"),
+    nodes = (
+        t.select(
+            "url", "t_idx", "subject_text", "subject_class",
+            "object_text", "object_class",
+        )
+        .repartition("url")
+        .select("url", "t_idx", node.alias("node"))
+        .select(
+            "url", "t_idx", "node.side", "node.pos",
+            "node.mention_text", "node.mention_class",
+        )
     )
-    nodes = subjects.unionByName(objects)
 
     first_pos = Window.partitionBy("url", "mention_text")
     rank_w = Window.partitionBy("url").orderBy("first_pos")

@@ -127,12 +127,19 @@ def _analyze_doc(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def analyze_graph(aligned_nodes: DataFrame) -> DataFrame:
+def analyze_graph(aligned_nodes: DataFrame, pre_grouped: bool = False) -> DataFrame:
     """Per-document graph analysis → entity-level component/degree/
     main/topic table. Runs via the batched grouped-map (many docs per
     Arrow exchange) — a groupBy().applyInPandas here paid the ~2 ms
     per-group pandas tax once per document (≈10 s of the 12 s modular
-    lp_graph time at sf0.1)."""
+    lp_graph time at sf0.1).
+
+    pre_grouped=True skips the grouped-map's repartition+sort (guide
+    §2.4): pass it when aligned_nodes is the DIRECT output of
+    align_entities (whose own grouped-map guarantees every url's rows
+    sit whole and contiguous in one partition) — the aligned node rows
+    then never cross a second exchange. Leave False for hand-built
+    inputs."""
     from ctinexus_spark.partitioning import grouped_map_stitched
 
     cols = aligned_nodes.select("url", "pos", "t_idx", "side", "entity_id", "entity_text")
@@ -141,7 +148,9 @@ def analyze_graph(aligned_nodes: DataFrame) -> DataFrame:
         outs = [_analyze_doc(g) for _, g in pdf.groupby("url", sort=False)]
         return pd.concat(outs, ignore_index=True)
 
-    return grouped_map_stitched(cols, "url", _process, GRAPH_SCHEMA)
+    return grouped_map_stitched(
+        cols, "url", _process, GRAPH_SCHEMA, assume_grouped=pre_grouped
+    )
 
 
 def predict_links(
@@ -151,19 +160,36 @@ def predict_links(
     config: PipelineConfig | None = None,
 ) -> DataFrame:
     """main-nodes × topic-node per url → batched link inference with
-    the hallucination guard."""
-    topics = graph.filter(F.col("is_topic")).select(
-        "url",
-        F.col("entity_id").alias("topic_id"),
-        F.col("entity_text").alias("topic_text"),
-    )
-    mains = graph.filter(F.col("is_main") & ~F.col("is_topic")).select(
-        "url",
-        F.col("entity_id").alias("main_id"),
-        F.col("entity_text").alias("main_text"),
-    )
+    the hallucination guard.
+
+    Shuffle shape (optimization round 6, guide §2.4): the topic row is
+    attached to each main row with ONE window over url instead of the
+    earlier mains ⋈ topics self-join — `graph` is consumed exactly
+    once, so an unpersisted graph lineage (the align+analyze Arrow
+    passes) no longer computes twice, and the mains/topics exchange
+    pair collapses into the single window exchange. Semantics are
+    unchanged: a document has at most one is_topic row (the main of
+    its largest component), every topic row is also a main row, and
+    pairs = (main ∧ ¬topic) × that topic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url")
     pairs = (
-        mains.join(topics, "url")
+        graph.filter(F.col("is_main"))
+        .withColumn(
+            "topic_id", F.max(F.when(F.col("is_topic"), F.col("entity_id"))).over(w)
+        )
+        .withColumn(
+            "topic_text", F.max(F.when(F.col("is_topic"), F.col("entity_text"))).over(w)
+        )
+        .filter(~F.col("is_topic"))
+        .select(
+            "url",
+            F.col("entity_id").alias("main_id"),
+            F.col("entity_text").alias("main_text"),
+            "topic_id",
+            "topic_text",
+        )
         .join(docs.select("url", "text_norm"), "url", "left")
     )
     return infer_links(pairs, model)

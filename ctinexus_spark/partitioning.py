@@ -44,7 +44,9 @@ def ensure_parallelism(df: DataFrame, min_parallelism: int | None = None) -> Dat
     return df
 
 
-def grouped_map_stitched(df: DataFrame, key: str, process, schema) -> DataFrame:
+def grouped_map_stitched(
+    df: DataFrame, key: str, process, schema, assume_grouped: bool = False
+) -> DataFrame:
     """The cheap replacement for groupBy(key).applyInPandas(...) when
     groups are numerous and small (per-document work): one Arrow
     exchange per BATCH of many groups instead of per group — the
@@ -60,7 +62,19 @@ def grouped_map_stitched(df: DataFrame, key: str, process, schema) -> DataFrame:
     Arrow caps batches at arrow.maxRecordsPerBatch, so one group can
     straddle a batch boundary; rows arrive sorted by key, so each
     batch's trailing group is held back and stitched onto the next
-    batch — every group is processed whole regardless of batch size."""
+    batch — every group is processed whole regardless of batch size.
+
+    assume_grouped=True (optimization round 6, guide §2.4) skips the
+    repartition AND the sort: the CALLER asserts that every key-group
+    already lives whole and contiguous inside one partition — true for
+    the direct output of another grouped_map_stitched on the same key
+    (whole groups are emitted sequentially per task and narrow ops
+    preserve that), which is exactly the align_entities → analyze_graph
+    hand-off. The stitch logic only needs group contiguity, not a
+    global sort, so correctness is unchanged; the exchange of the full
+    row set (at web scale: every aligned node row) disappears. Do NOT
+    pass True for inputs whose grouping you cannot prove: a key split
+    across partitions would be processed once per fragment."""
     import pandas as pd
 
     def run(batches):
@@ -80,6 +94,8 @@ def grouped_map_stitched(df: DataFrame, key: str, process, schema) -> DataFrame:
         if pending is not None and len(pending):
             yield process(pending)
 
+    if assume_grouped:
+        return df.mapInPandas(run, schema=schema)
     return (
         df.repartition(key)
         .sortWithinPartitions(key)

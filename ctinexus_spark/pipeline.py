@@ -120,7 +120,7 @@ def run_pipeline(
     embeddings = embed_mentions(nodes, model)
     aligned = align_entities(nodes, embeddings, cfg).persist()
 
-    graph = analyze_graph(aligned)
+    graph = analyze_graph(aligned, pre_grouped=True)
     links = predict_links(graph, docs, model, cfg)
     kg = materialize_kg(aligned, typed_all, links)
 
