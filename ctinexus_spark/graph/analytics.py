@@ -102,9 +102,15 @@ def pagerank(
     partition order: no SQL-oracle twin (rows-only contract check);
     tests assert analytic values to 1e-9.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).filter(
-        F.col("s").isNotNull() & F.col("t").isNotNull()
-    ).distinct()
+    # barrier the deduped edge set once: it feeds verts (twice, via the
+    # union), outd and the weighted-edge join — lazily each consumer
+    # job would re-scan the source and re-run the distinct shuffle
+    # (the iterative-op rule from CLAUDE.md, applied to the prologue)
+    e = barrier(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).filter(
+            F.col("s").isNotNull() & F.col("t").isNotNull()
+        ).distinct()
+    )
     verts = (
         e.select(F.col("s").alias("vertex"))
         .unionByName(e.select(F.col("t").alias("vertex")))
@@ -117,9 +123,23 @@ def pagerank(
         verts.unpersist()
         return out
     outd = e.groupBy("s").agg(F.count("*").cast("double").alias("outd"))
-    # edge weight 1/outdeg, fixed for all rounds
+    # edge weight 1/outdeg, fixed for all rounds — PLUS one zero-weight
+    # self-loop per vertex (optimization round 6): the self-loop row
+    # makes every vertex appear as a groupBy(t) target each round
+    # (contributing rank·0.0 = exact 0.0 to the sum), so the per-round
+    # "verts LEFT JOIN contribs" re-attach disappears — one join +
+    # one partial-aggregated groupBy per round is the whole recurrence.
+    # |w| grows by |V| ≤ |E| rows, all weight-0.
     w = barrier(
-        e.join(outd, "s").select("s", "t", (F.lit(1.0) / F.col("outd")).alias("w"))
+        e.join(outd, "s")
+        .select("s", "t", (F.lit(1.0) / F.col("outd")).alias("w"))
+        .unionByName(
+            verts.select(
+                F.col("vertex").alias("s"),
+                F.col("vertex").alias("t"),
+                F.lit(0.0).alias("w"),
+            )
+        )
     )
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
@@ -129,27 +149,31 @@ def pagerank(
             .groupBy(F.col("t").alias("vertex"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
-        # dangling mass as a LAZY broadcast 1-row aggregate — a per-round
-        # collect() would force a driver-synced job per iteration; this
-        # way the whole power iteration runs as one job between barriers
-        dangling = (
-            ranks.join(outd.select(F.col("s").alias("vertex")), "vertex", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        # Dangling mass via conservation (optimization round 6): every
+        # round preserves Σ rank = 1 and Σ contribs = Σ rank over
+        # NON-dangling vertices, so dang = 1 − Σ contribs. The earlier
+        # ranks ⟕ outd anti-join referenced the lazy `ranks` lineage a
+        # SECOND time per round, doubling the recompute between
+        # barriers (the connected_components check_every>2 trap, same
+        # mechanism); contribs sits behind its own shuffle, so this
+        # second reference is deduplicated by exchange reuse and the
+        # lineage stays LINEAR in rounds. Float difference vs the
+        # summed-dangling form is last-ulp accumulation (~1e-15 over 5
+        # rounds) — pagerank() is the unpinned throughput variant
+        # (rows-only contract; 1e-9 analytic tests); the oracle-pinned
+        # pagerank_pinned keeps the explicit dangling fold.
+        dangling = contribs.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias("_dang")
         )
-        ranks = (
-            verts.join(contribs, "vertex", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "vertex",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("_dang") / F.lit(float(n))
-                    )
-                ).alias("rank"),
-            )
+        # contribs already covers EVERY vertex (self-loop rows), so the
+        # new ranks are a projection of it — no verts re-attach join
+        ranks = contribs.crossJoin(F.broadcast(dangling)).select(
+            "vertex",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.col("contrib") + F.col("_dang") / F.lit(float(n)))
+            ).alias("rank"),
         )
         if (it + 1) % CHECKPOINT_EVERY == 0 and it + 1 < iterations:
             ranks = barrier(ranks)
@@ -376,9 +400,18 @@ def label_propagation(
     )
     # und is referenced in EVERY round — barrier it once or each round
     # re-scans (and re-shuffles) the upstream edge derivation (the
-    # pagerank weighted-edge pattern)
+    # pagerank weighted-edge pattern). Pre-partition AND pre-sort it on
+    # the round-join key `b` before the barrier (optimization round 6,
+    # guide §2.4): localCheckpoint preserves partitioning and ordering,
+    # so when the planner picks a sort-merge join for a round, the big
+    # static side needs neither exchange nor sort — only the (small)
+    # per-round labels side moves. One shuffle now instead of one per
+    # round at scale; when AQE broadcasts the labels side instead, the
+    # layout is simply inherited at zero cost.
     und = barrier(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition(F.col("b"))
+        .sortWithinPartitions("b")
     )
     labels = (
         und.select(F.col("a").alias("v"))

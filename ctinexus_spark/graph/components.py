@@ -188,16 +188,21 @@ def connected_components(
             # rounds of dataflow)
             labels = flagged.drop("old")
             continue
-        if (it + 1) % (check_every * CHECKPOINT_EVERY) == 0:
-            flagged = barrier(flagged)
-        else:
-            flagged = flagged.persist()
+        # barrier (localCheckpoint), not persist, at EVERY check
+        # (optimization round 6): the check has to materialize the
+        # round either way, but a checkpointed round is already safe to
+        # return — the final "materialize + localCheckpoint the result"
+        # job that used to re-write the converged labels is gone (one
+        # fewer job per CC call; the dedup funnel and global entity
+        # resolution each pay this floor). Lineage truncation at every
+        # check also subsumes the old every-3rd-check barrier cadence.
+        flagged = barrier(flagged)
 
         changed = (
             flagged.filter(F.col("component") != F.col("old")).limit(1).count()
         )
         pinned.unpersist()
-        pinned = flagged  # unpersist must target the persisted plan, not a projection
+        pinned = flagged  # checkpointed round (unpersist is a no-op for it)
         labels = flagged.drop("old")
         if changed == 0:
             converged = True
@@ -205,18 +210,14 @@ def connected_components(
 
     sym.unpersist()
     if not converged:
-        pinned.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             "iterations — graph diameter exceeds the round budget; raise "
             "max_iterations or switch to a doubling variant"
         )
-    # materialize + localCheckpoint so the persisted iteration state can
-    # be released now (a returned lazy persist would leak in the cache
-    # manager until an unpersist the caller never knows to issue)
-    result = barrier(labels.select("vertex", "component"))
-    pinned.unpersist()
-    return result
+    # labels is a projection over the checkpointed converged round — no
+    # cache-manager entry leaks, no extra materialization job
+    return labels.select("vertex", "component")
 
 
 def connected_components_stars(
