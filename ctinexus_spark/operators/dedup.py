@@ -702,32 +702,46 @@ def jaccard_join_exact(
     if not (0 < p <= q):
         raise ValueError(f"threshold must be a rational in (0,1], got {p}/{q}")
     from ctinexus_spark.partitioning import ensure_parallelism
-    from pyspark.sql import Window
 
     sh = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingle_col(text_col, k)).alias("shingle"),
     )
-    sh = barrier(sh)  # consumed 3× below (df-freq, prefix, verify)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_tok"))
+    sh = barrier(sh)  # consumed twice below (df-freq + the arr groupBy)
     df_freq = sh.groupBy("shingle").agg(F.count("*").cast("bigint").alias("df"))
-    rk = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    ranked = (
+    # Per-doc frequency-sorted shingle ARRAY (optimization round 6,
+    # guide §2.4): one groupBy replaces the former window rank (its own
+    # full-table exchange+sort), the per-doc size aggregation AND the
+    # sizes re-join — n_tok is the array length and the prefix is an
+    # array slice. (df, shingle) pairs are unique per doc (shingles are
+    # distinct), so array_sort reproduces the row_number order exactly.
+    arr = barrier(
         sh.join(df_freq, "shingle")
-        .withColumn("rk", F.row_number().over(rk))
-        .join(sizes, "doc_id")
-    )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ds"))
+        .select(
+            "doc_id",
+            F.transform("ds", lambda x: x["shingle"]).alias("toks"),
+            F.size("ds").cast("bigint").alias("n_tok"),
+        )
+    )  # consumed 3× (prefix + both verify sides)
     # prefix length = n - ceil(p·n/q) + 1, all-integer arithmetic
-    ceil_pn_q = (F.lit(p) * F.col("n_tok") + F.lit(q - 1)).cast("bigint") / F.lit(q)
-    prefix = ranked.filter(
-        F.col("rk") <= F.col("n_tok") - F.floor(ceil_pn_q).cast("bigint") + F.lit(1)
-    ).select("doc_id", "shingle", "n_tok")
+    ceil_pn_q = (F.lit(p) * F.col("n_tok") + F.lit(q - 1)) / F.lit(q)
+    plen = (
+        F.col("n_tok") - F.floor(ceil_pn_q).cast("bigint") + F.lit(1)
+    ).cast("int")
+    prefix = arr.select(
+        "doc_id", "n_tok", F.explode(F.slice("toks", F.lit(1), plen)).alias("shingle")
+    )
     a = prefix.select(
         F.col("doc_id").alias("a_id"), "shingle", F.col("n_tok").alias("n_a")
     )
     b = prefix.select(
         F.col("doc_id").alias("b_id"), "shingle", F.col("n_tok").alias("n_b")
     )
+    # candidate pairs CARRY their sizes (n_a/n_b are functions of the
+    # ids, so the distinct's cardinality is unchanged) — no sizes
+    # re-join after verification
     cand = (
         a.join(b, "shingle")
         .filter(
@@ -735,22 +749,25 @@ def jaccard_join_exact(
             # length filter: J >= p/q forces p·max <= q·min
             & (F.lit(p) * F.greatest("n_a", "n_b") <= F.lit(q) * F.least("n_a", "n_b"))
         )
-        .select("a_id", "b_id")
+        .select("a_id", "b_id", "n_a", "n_b")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("a_id"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("b_id"), "shingle")
-    inter = (
-        cand.join(sa, "a_id")
-        .join(sb, ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").cast("bigint").alias("n_shared"))
-    )
-    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_tok").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_tok").alias("n_b"))
+    # verify: exact distinct-intersection via array_intersect over the
+    # two docs' shingle arrays — two equi-joins against the |docs|-row
+    # arr table instead of two joins against the exploded shingle table
+    # plus a pair-count aggregation
+    ta = arr.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("toks_a"))
+    tb = arr.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("toks_b"))
     return (
-        inter.join(na, "a_id")
-        .join(nb, "b_id")
+        cand.join(ta, "a_id")
+        .join(tb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint").alias("n_shared"),
+            "n_a",
+            "n_b",
+        )
         .filter(F.lit(p + q) * F.col("n_shared") >= F.lit(p) * (F.col("n_a") + F.col("n_b")))
         .select(
             "a_id",

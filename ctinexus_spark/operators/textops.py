@@ -94,11 +94,15 @@ def winnowed_fingerprints(
     selected hashes. Guarantees any shared run of ≥ window+k-1 tokens
     between two documents shares a fingerprint (the MOSS property) —
     the robust near-dup/plagiarism key md5-of-whole-doc cannot give.
-    Pure JVM: positional shingles via transform+slice, window minima
-    via a min() OVER (ROWS BETWEEN ...) frame — deterministic on both
-    engines."""
-    from pyspark.sql import Window
-
+    Pure JVM, and since optimization round 6 ZERO shuffles: the
+    sliding-window minima are computed array-side per document
+    (transform over positions + array_min over a slice — identical
+    lexicographic min to the earlier min() OVER (ROWS BETWEEN) frame,
+    including the truncated tail windows), and the per-document
+    fingerprint dedup is an array_distinct, so neither the positional
+    explode-window exchange+sort nor the final distinct exchange
+    exists any more. Output rows are the identical (id, fingerprint)
+    set."""
     toks = _tokens(text_col)
     shingles = F.when(
         F.size(toks) >= k,
@@ -107,12 +111,22 @@ def winnowed_fingerprints(
             lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    pos = docs.select(F.col(id_col), F.posexplode(shingles).alias("pos", "h"))
-    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
-    return (
-        pos.withColumn("wmin", F.min("h").over(w))
-        .select(F.col(id_col), F.col("wmin").alias("fingerprint"))
-        .distinct()
+    # bind the shingle array to a named column FIRST: referencing the
+    # raw expression inside the transform lambda would re-evaluate the
+    # md5 chain once per position (O(n²) hashing); an attribute
+    # reference evaluates once per row
+    with_sh = docs.select(F.col(id_col), shingles.alias("_sh"))
+    sh = F.col("_sh")
+    wmins = F.when(
+        F.size(sh) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.size(sh) - 1),
+            lambda j: F.array_min(F.slice(sh, j + 1, F.lit(window))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return with_sh.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(wmins)).alias("fingerprint"),
     )
 
 
