@@ -192,6 +192,51 @@ def shingle_overlap(
     """
     from ctinexus_spark.partitioning import ensure_parallelism
 
+    if candidates is not None:
+        # Candidate-gated path, array form (optimization round 6, guide
+        # §2.4): shingle_col already yields each doc's DISTINCT shingle
+        # array, so the shared count is size(array_intersect(...)) over
+        # the two docs' arrays — no shingle explode, no (b_id, shingle)
+        # equi-join of exploded rows, no pair-count aggregation, and
+        # the per-doc sizes ride along instead of re-joining. Integer
+        # results identical to the exploded join-count.
+        arr = barrier(
+            ensure_parallelism(docs)
+            .select(F.col(id_col), shingle_col(text_col).alias("toks"))
+            .select(
+                id_col, "toks", F.size("toks").cast("bigint").alias("n_shingles")
+            )
+        )  # consumed by both join sides
+        ta = arr.select(
+            F.col(id_col).alias("a_id"),
+            F.col("toks").alias("toks_a"),
+            F.col("n_shingles").alias("a_n"),
+        )
+        tb = arr.select(
+            F.col(id_col).alias("b_id"),
+            F.col("toks").alias("toks_b"),
+            F.col("n_shingles").alias("b_n"),
+        )
+        return (
+            candidates.select("a_id", "b_id")
+            .join(ta, "a_id")
+            .join(tb, "b_id")
+            .select(
+                "a_id",
+                "b_id",
+                F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint").alias("n_shared"),
+                "a_n",
+                "b_n",
+            )
+            .filter(F.col("n_shared") >= min_shared)
+            .select(
+                "a_id", "b_id", "n_shared",
+                (F.col("n_shared").cast("double")
+                 / (F.col("a_n") + F.col("b_n") - F.col("n_shared")).cast("double")).alias("jaccard"),
+            )
+        )
+
+    # corpus-wide exact variant (TEST-ONLY baseline)
     sh = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(shingle_col(text_col)).alias("shingle")
     )
@@ -199,23 +244,13 @@ def shingle_overlap(
 
     a = sh.select(F.col(id_col).alias("a_id"), "shingle")
     b = sh.select(F.col(id_col).alias("b_id"), "shingle")
-    if candidates is not None:
-        shared = (
-            candidates.select("a_id", "b_id")
-            .join(a, "a_id")
-            .join(b, ["b_id", "shingle"])
-            .groupBy("a_id", "b_id")
-            .agg(F.count("*").cast("bigint").alias("n_shared"))
-            .filter(F.col("n_shared") >= min_shared)
-        )
-    else:
-        shared = (
-            a.join(b, "shingle")
-            .filter(F.col("a_id") < F.col("b_id"))
-            .groupBy("a_id", "b_id")
-            .agg(F.count("*").cast("bigint").alias("n_shared"))
-            .filter(F.col("n_shared") >= min_shared)
-        )
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
     return (
         shared.join(counts.select(F.col(id_col).alias("a_id"), F.col("n_shingles").alias("a_n")), "a_id")
         .join(counts.select(F.col(id_col).alias("b_id"), F.col("n_shingles").alias("b_n")), "b_id")

@@ -206,12 +206,40 @@ def cms_heavy_hitters(
     crawl scale the candidate set would come from a per-partition
     pre-top-k, which is the same plan shape. Estimation joins the
     k*depth candidate probes against a broadcast of the finished
-    depth*width sketch."""
-    sketch = cms_sketch(values, value_col, depth=depth, width=width)
+    depth*width sketch.
+
+    One raw pass (optimization round 6, guide §2.3): the raw values
+    aggregate to (value, exact_cnt) ONCE — Zipfian mass collapses in
+    the map-side combine — and the sketch re-aggregates those partials
+    (cell cnt = Σ exact_cnt over colliding values; integer-exact, so
+    the sketch is bit-identical to cms_sketch's over the raw rows).
+    The earlier shape scanned the raw explode twice (once for the
+    sketch, once for the exact counts) and exploded depth hash rows
+    per OCCURRENCE instead of per distinct value. The shared counts
+    exchange is deduplicated by exchange reuse in the final plan."""
+    counts = values.groupBy(value_col).agg(
+        F.count("*").cast("bigint").alias("exact_cnt")
+    )
+    sketch = (
+        counts.select(
+            "exact_cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row"),
+                            (hash32(F.col(value_col), salt=i) % width).alias("bucket"),
+                        )
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("h"),
+        )
+        .groupBy(F.col("h.row").alias("row"), F.col("h.bucket").alias("bucket"))
+        .agg(F.sum("exact_cnt").cast("bigint").alias("cnt"))
+    )
     exact = (
-        values.groupBy(value_col)
-        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
-        .orderBy(F.col("exact_cnt").desc(), F.col(value_col))
+        counts.orderBy(F.col("exact_cnt").desc(), F.col(value_col))
         .limit(k)
     )
     probes = exact.select(
