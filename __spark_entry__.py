@@ -35,61 +35,54 @@ WINDOW = 50
 
 # Queries whose semantics or backing operators changed in the current
 # round. Must be a subset of the current window (tested).
-CHANGED_THIS_ROUND = [
-    # round 5: pagerank_pinned + recursive k-core oracles; incremental
-    # dedup band-less fingerprint channel (schema change); simhash
-    # kernel sub-chunking; connected_components check_every batching
-    # (all CC consumers rotate in)
-    "part_pagerank",
-    "part_kcore",
-    "dedup_incremental",
-    "simhash",
-    "simhash_candidates",
-    "dedup_clusters_cc",
-    "dedup_clusters_stars",
-    "dedup_keeplist",
-    "semantic_dedup",
-    "kg_global_entities",
-    # new this round (no prior green row exists): distributed sketches,
-    # BM25 retrieval, exact quantiles
-    "hll_distinct",
-    "cms_topk",
-    "bloom_probe",
-    "bm25_topk",
-    "doc_len_quantiles",
-    "part_communities",
-    "cluster_topics",
-    "part_reach",
-    "part_clustering",
-    "mmr_topk",
-    "source_drift",
-    "event_asof_purchase",
-    "part_ppr",
-    "click_attribution",
-    "event_rollup_cascade",
-    "kmv_distinct",
-    "kmv_overlap",
-    "part_truss",
-    "jaccard_pairs",
-    "event_funnel",
-    "part_linkpred",
-    "cohort_retention",
-    "part_sssp",
-    "hybrid_topk",
-    "event_bursts",
-    "part_walks",
-    "kg_entity_cooc",
-    "event_twa",
-    "revenue_cube",
-    "idle_customers",
-    "event_decay",
-    "event_transitions",
-    "event_cusum",
-    "order_zorder",
-    "user_event_pivot",
-    "user_event_unpivot",
-    "part_name_fuzzy",
+_CHANGED_R05 = [
+    "part_pagerank", "part_kcore", "dedup_incremental", "simhash",
+    "simhash_candidates", "dedup_clusters_cc", "dedup_clusters_stars",
+    "dedup_keeplist", "semantic_dedup", "kg_global_entities",
+    "hll_distinct", "cms_topk", "bloom_probe", "bm25_topk",
+    "doc_len_quantiles", "part_communities", "cluster_topics",
+    "part_reach", "part_clustering", "mmr_topk", "source_drift",
+    "event_asof_purchase", "part_ppr", "click_attribution",
+    "event_rollup_cascade", "kmv_distinct", "kmv_overlap", "part_truss",
+    "jaccard_pairs", "event_funnel", "part_linkpred", "cohort_retention",
+    "part_sssp", "hybrid_topk", "event_bursts", "part_walks",
+    "kg_entity_cooc", "event_twa", "revenue_cube", "idle_customers",
+    "event_decay", "event_transitions", "event_cusum", "order_zorder",
+    "user_event_pivot", "user_event_unpivot", "part_name_fuzzy",
     "event_props_k",
+]
+
+CHANGED_THIS_ROUND = [
+    # round 6 (optimization round): results are bit-identical by
+    # design, but the BACKING IMPLEMENTATIONS changed, so every
+    # consumer rotates into the window for a fresh driver-grade check.
+    # mint_mentions / align / analyze_graph / predict_links /
+    # materialize_kg (modular KG chain reshuffle):
+    "ea_mentions",
+    "ea_entities",
+    "ea_entities_merged",
+    "ea_entities_cc",
+    "ea_ioc_unmerge",
+    "lp_graph",
+    "lp_split_graph",
+    "lp_links_flaky",
+    "kg_triples",
+    "kg_fused",
+    "kg_entity_degree",
+    "kg_entity_cooc",
+    "kg_global_entities",
+    # connected_components check-time barriering (all CC consumers):
+    "dedup_clusters_cc",
+    "dedup_keeplist",
+    "dedup_incremental",
+    "semantic_dedup",
+    # label_propagation pre-partitioned edge table:
+    "part_communities",
+    # operator-internal rewrites (same integers, new dataflow):
+    "jaccard_pairs",
+    "shingle_overlap",
+    "winnow_fp",
+    "cms_topk",
 ]
 
 # Per-round rotation fronts (the driver window = first WINDOW names of
@@ -117,7 +110,7 @@ ROTATION_HISTORY: dict[str, list[str]] = {
     # round 5: the changed set first, then the rows whose only greens
     # date to r01-r03 (oldest coverage), then the r04 KG block —
     # exactly WINDOW names, so the window is fully explicit this round.
-    "r05": CHANGED_THIS_ROUND + [
+    "r05": _CHANGED_R05 + [
         # url_ops leads the fill: its only green is this round's window
         # (union coverage breaks if it slips past WINDOW as the changed
         # set grows)
@@ -137,6 +130,20 @@ ROTATION_HISTORY: dict[str, list[str]] = {
         # quantile / LPA / topic queries — all seven were green in the
         # r04 window and their backing code is unchanged this round
         # (union coverage keeps them via r04).
+    ],
+    # round 6 (optimization): the changed set first, then the
+    # verification-refresh fill (round-5 VERDICT #1) — the queries
+    # whose only greens date to r01-r03, then three of the stalest r04
+    # rows the verdict named. 22 + 25 + 3 = exactly WINDOW names.
+    "r06": CHANGED_THIS_ROUND + [
+        "doc_text_norm", "ie_triples", "ie_counts", "et_typed",
+        "token_stats", "quality", "lang_features", "gopher_rules",
+        "repetition_ratios", "lm_scores", "doc_chunks", "redact_pii",
+        "fingerprints", "bpe_tokens", "dedup_exact", "minhash",
+        "lsh_bands", "lsh_candidates", "emb_cosine_pairs", "ann_topk",
+        "lsh_buckets", "lsh_topk", "knn_vote", "mm_metadata",
+        "mm_frame_plan",
+        "tpch_q1", "ivf_topk", "pq_adc_topk",
     ],
 }
 

