@@ -102,45 +102,44 @@ def pagerank(
     partition order: no SQL-oracle twin (rows-only contract check);
     tests assert analytic values to 1e-9.
     """
-    # barrier the deduped edge set once: it feeds verts (twice, via the
-    # union), outd and the weighted-edge join — lazily each consumer
-    # job would re-scan the source and re-run the distinct shuffle
-    # (the iterative-op rule from CLAUDE.md, applied to the prologue)
-    e = barrier(
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).filter(
-            F.col("s").isNotNull() & F.col("t").isNotNull()
-        ).distinct()
-    )
-    verts = (
+    # ONE prologue materialization (optimization round 6): the
+    # weighted edge table — real edges with weight 1/outdeg PLUS one
+    # zero-weight self-loop per vertex — is barriered in a single job;
+    # the deduped edge set's exchange is referenced by outd, the join
+    # and both vertex-union arms inside that one plan, so exchange
+    # reuse computes it once. The self-loop rows serve three duties:
+    # (a) every vertex appears as a groupBy(t) target each round
+    #     (contributing rank·0.0 = exact 0.0), so the per-round
+    #     "verts LEFT JOIN contribs" re-attach disappears;
+    # (b) the vertex set IS the w=0.0 slice of the checkpointed table
+    #     (no real edge can carry weight 0), so the former separate
+    #     verts persist + count jobs collapse into one cheap count
+    #     over the checkpoint;
+    # (c) |w| grows by |V| ≤ 2·|E| rows, all weight-0.
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).filter(
+        F.col("s").isNotNull() & F.col("t").isNotNull()
+    ).distinct()
+    verts_all = (
         e.select(F.col("s").alias("vertex"))
         .unionByName(e.select(F.col("t").alias("vertex")))
         .distinct()
-        .persist()
     )
-    n = verts.count()
-    if n == 0:
-        out = barrier(verts.withColumn("rank", F.lit(0.0)))
-        verts.unpersist()
-        return out
     outd = e.groupBy("s").agg(F.count("*").cast("double").alias("outd"))
-    # edge weight 1/outdeg, fixed for all rounds — PLUS one zero-weight
-    # self-loop per vertex (optimization round 6): the self-loop row
-    # makes every vertex appear as a groupBy(t) target each round
-    # (contributing rank·0.0 = exact 0.0 to the sum), so the per-round
-    # "verts LEFT JOIN contribs" re-attach disappears — one join +
-    # one partial-aggregated groupBy per round is the whole recurrence.
-    # |w| grows by |V| ≤ |E| rows, all weight-0.
     w = barrier(
         e.join(outd, "s")
         .select("s", "t", (F.lit(1.0) / F.col("outd")).alias("w"))
         .unionByName(
-            verts.select(
+            verts_all.select(
                 F.col("vertex").alias("s"),
                 F.col("vertex").alias("t"),
                 F.lit(0.0).alias("w"),
             )
         )
     )
+    verts = w.filter(F.col("w") == 0.0).select(F.col("s").alias("vertex"))
+    n = verts.count()
+    if n == 0:
+        return barrier(verts.withColumn("rank", F.lit(0.0)))
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for it in range(iterations):
@@ -177,12 +176,9 @@ def pagerank(
         )
         if (it + 1) % CHECKPOINT_EVERY == 0 and it + 1 < iterations:
             ranks = barrier(ranks)
-    # materialize before releasing verts: the tail rounds past the last
-    # barrier still reference the persisted vertex set, and a returned
-    # lazy plan would otherwise recompute the distinct-union per action
-    ranks = barrier(ranks)
-    verts.unpersist()
-    return ranks
+    # materialize the tail rounds once so a returned lazy plan does not
+    # recompute them per caller action
+    return barrier(ranks)
 
 
 def pagerank_pinned(
