@@ -42,21 +42,18 @@ def global_entity_resolution(
     per distinct entity text, global_id shared by all texts whose
     similarity components connect at ≥ threshold.
 
-    `texts` is the load-bearing branch point (it feeds the embed pass
-    AND the final join, and everything upstream of it is the caller's
-    full lineage — unbarriered, the modular EA pipeline measured 3×
-    recomputation, 37 s for a 28-entity corpus), so it goes through
-    barrier(). emb's consumers (LSH banding + both re-rank join sides)
-    deliberately recompute the cheap distinct+embed from the
-    checkpointed texts instead of paying a second barrier job."""
+    Both `texts` and `emb` are multi-consumer branch points (texts
+    feeds the embed pass AND the final join; emb feeds the LSH banding
+    AND both sides of the candidate re-rank join), so both go through
+    barrier() — without it every consumer recomputes the caller's
+    entire upstream lineage (measured: the full modular EA pipeline ran
+    3× inside one bench query, 37 s for a 28-entity corpus). Round-6
+    interleaved A/B of dropping the emb barrier measured NEUTRAL at
+    sf0.1 (the removal was tried and reverted) — kept for the general
+    case where embed batches are not trivially cheap."""
     texts = barrier(entities.select("entity_text").distinct())
     emb = embed_mentions(texts.select(F.col("entity_text").alias("mention_text")), model)
-    # no second barrier for emb (optimization round 6): its multiple
-    # consumers re-run only a distinct + one Arrow embed batch over the
-    # CHECKPOINTED texts — re-embedding distinct texts per consumer is
-    # cheaper than the extra materialization job the barrier cost
-    # (the expensive upstream lineage is already cut at `texts`)
-    emb = emb.select(F.col("mention_text").alias("entity_text"), "embedding")
+    emb = barrier(emb.select(F.col("mention_text").alias("entity_text"), "embedding"))
     pairs = embedding_near_dups_lsh(
         emb, id_col="entity_text", vec_col="embedding", threshold=threshold
     )
