@@ -670,16 +670,27 @@ def embedding_near_dups_lsh(
     n_bands: int = 4,
     band_planes: int = 8,
     max_bucket: int = MAX_BUCKET,
+    input_materialized: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-gated — the scale path:
     banded sign-LSH buckets (OR-amplified for recall) produce candidate
     pairs via an equi bucket join, then the exact cosine threshold
     re-ranks. No nested-loop join, no full-table broadcast; cost is
-    Σ bucket²/2 per band, bounded by the max_bucket cap."""
+    Σ bucket²/2 per band, bounded by the max_bucket cap.
+
+    input_materialized=True (optimization round 6): the caller asserts
+    `embeddings` is already checkpointed/cached, so re-deriving the
+    banding per join side is one cheap Arrow pass and the internal
+    bands barrier job is skipped — global_entity_resolution passes it
+    for its checkpointed entity-text embeddings. Default False keeps
+    the barrier: with a lazy expensive input the band lineage would
+    otherwise compute once per self-join side."""
     from ctinexus_spark.operators.similarity import cap_buckets, cosine_udf, lsh_band_buckets
 
     bands = lsh_band_buckets(embeddings, id_col, vec_col, n_bands=n_bands, band_planes=band_planes)
-    bands = barrier(cap_buckets(bands, ["band_idx", "bucket"], max_bucket))
+    bands = cap_buckets(bands, ["band_idx", "bucket"], max_bucket)
+    if not input_materialized:
+        bands = barrier(bands)
     a = bands.select(F.col(id_col).alias("a_id"), "band_idx", "bucket")
     b = bands.select(F.col(id_col).alias("b_id"), "band_idx", "bucket")
     cand = (

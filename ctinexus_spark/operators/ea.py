@@ -86,12 +86,25 @@ def mint_mentions(triples_typed: DataFrame) -> DataFrame:
             ),
         )
     )
+    # explicit partition count: a bare repartition("url") is an
+    # AQE-coalescible shuffle — at bench scale it collapses to ~1
+    # partition and SERIALIZES the two window sorts and the whole
+    # align Arrow pass downstream (measured: align stage 1.6s → 3.3s).
+    # Pinning ~2 tasks/core keeps the Python-bound pass parallel; at
+    # 100 TB the same count is a lower bound the natural split count
+    # exceeds anyway.
+    try:
+        n_part = triples_typed.sparkSession.sparkContext.defaultParallelism * 2
+    except Exception:  # Spark Connect
+        n_part = int(
+            triples_typed.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     nodes = (
         t.select(
             "url", "t_idx", "subject_text", "subject_class",
             "object_text", "object_class",
         )
-        .repartition("url")
+        .repartition(n_part, "url")
         .select("url", "t_idx", node.alias("node"))
         .select(
             "url", "t_idx", "node.side", "node.pos",

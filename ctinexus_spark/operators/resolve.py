@@ -55,7 +55,8 @@ def global_entity_resolution(
     emb = embed_mentions(texts.select(F.col("entity_text").alias("mention_text")), model)
     emb = barrier(emb.select(F.col("mention_text").alias("entity_text"), "embedding"))
     pairs = embedding_near_dups_lsh(
-        emb, id_col="entity_text", vec_col="embedding", threshold=threshold
+        emb, id_col="entity_text", vec_col="embedding", threshold=threshold,
+        input_materialized=True,  # emb is checkpointed just above
     )
     comps = connected_components(pairs, "a_id", "b_id")
     return (
