@@ -86,19 +86,16 @@ def mint_mentions(triples_typed: DataFrame) -> DataFrame:
             ),
         )
     )
-    # explicit partition count: a bare repartition("url") is an
-    # AQE-coalescible shuffle — at bench scale it collapses to ~1
-    # partition and SERIALIZES the two window sorts and the whole
-    # align Arrow pass downstream (measured: align stage 1.6s → 3.3s).
-    # Pinning ~2 tasks/core keeps the Python-bound pass parallel; at
-    # 100 TB the same count is a lower bound the natural split count
-    # exceeds anyway.
-    try:
-        n_part = triples_typed.sparkSession.sparkContext.defaultParallelism * 2
-    except Exception:  # Spark Connect
-        n_part = int(
-            triples_typed.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
+    # explicit partition count (keyed_partitions): a bare
+    # repartition("url") is an AQE-coalescible shuffle — at bench scale
+    # it collapses to ~1 partition and SERIALIZES the two window sorts
+    # and the whole align Arrow pass downstream (measured: align stage
+    # 1.6s → 3.3s). Pinning ~2 tasks/core keeps the Python-bound pass
+    # parallel; at 100 TB the same count is a lower bound the natural
+    # split count exceeds anyway.
+    from ctinexus_spark.partitioning import keyed_partitions
+
+    n_part = keyed_partitions(triples_typed)
     nodes = (
         t.select(
             "url", "t_idx", "subject_text", "subject_class",

@@ -31,6 +31,21 @@ def _plan_partitions(df: DataFrame) -> int | None:
         return None
 
 
+def keyed_partitions(df: DataFrame) -> int:
+    """Partition count for an explicit keyed repartition (~2 tasks per
+    core, the ensure_parallelism target). A BARE repartition(key) is an
+    AQE-coalescible shuffle: on small inputs it collapses to ~1
+    partition and serializes every narrow operation downstream of it —
+    including Arrow passes (measured round 6: the align stage doubled).
+    Passing the count pins it; the value is derived from the session,
+    never hard-coded."""
+    spark = df.sparkSession
+    try:
+        return spark.sparkContext.defaultParallelism * 2
+    except Exception:  # Spark Connect: no sparkContext — conf-driven
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
 def ensure_parallelism(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     spark = df.sparkSession
     try:
@@ -96,6 +111,13 @@ def grouped_map_stitched(
 
     if assume_grouped:
         return df.mapInPandas(run, schema=schema)
+    # DELIBERATELY a bare (AQE-coalescible) repartition: for the pure
+    # Arrow passes behind this helper, fewer+larger post-shuffle
+    # partitions measured FASTER (fused kg ~3.4s vs ~4.0s with a pinned
+    # 2x-cores count — larger batches amortize per-task pandas/model
+    # overhead, and there are no JVM sorts downstream to parallelize).
+    # Contrast mint_mentions, which pins its count because two window
+    # SORTS ride its exchange (see keyed_partitions docstring).
     return (
         df.repartition(key)
         .sortWithinPartitions(key)
